@@ -1,0 +1,182 @@
+"""Typed configuration for the MD-RDM TPU framework.
+
+Replaces the reference's scattered argparse flags (train.py:9-26,
+utils.py:17-46), module-level globals (``use_cuda`` RDM_Net.py:8,
+``is_cuda`` module.py:13, ``freeze_encoder`` RDM_Net.py:9) and hardcoded
+dataset roots (dataloaders/path.py:9-22) with immutable dataclasses that can
+be threaded through jit'd code as static configuration.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+# Decoder output resolution by id (reference RDM_Net.py:29-39):
+#   id 1, 6  -> 8x8      id 2, 7  -> 16x16     id 3, 8  -> 32x32
+#   id 4, 9  -> 64x64    id 5, 10 -> 128x128
+# ids 1-5 are DORN ordinal decoders, 6-10 relative (comparison + ALS).
+DECODER_SIZES = {1: 8, 2: 16, 3: 32, 4: 64, 5: 128,
+                 6: 8, 7: 16, 8: 32, 9: 64, 10: 128}
+
+# Fine-detail slot sizes (reference computations.py:444-462): slot i holds
+# maps of spatial size 2**i, i in [0, 7] i.e. 1x1 ... 128x128.
+SLOT_SIZES = tuple(2 ** i for i in range(8))
+
+
+def _decoder_num_wsm_layers(decoder_id: int) -> int:
+    """Number of cascaded WSM layers for a decoder (RDM_Net.py:50-61)."""
+    return (decoder_id - 1) % 5
+
+
+def decomposition_depth(decoder_id: int) -> int:
+    """Decomposition recursion depth n for a decoder's output map.
+
+    The live path decomposes d_1 with n=3 (RDM_Net.py:117); the dormant
+    relative decoders use n = 3..6 for ids 6..9 (RDM_Net.py:119-122),
+    i.e. n = log2(output size).
+    """
+    return {8: 3, 16: 4, 32: 5, 64: 6, 128: 7}[DECODER_SIZES[decoder_id]]
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Static architecture configuration for DepthEstimationNet."""
+
+    # Which decoders to instantiate.  The reference live path uses only (1,)
+    # (RDM_Net.py:50); the authors state the optimum set is (1, 6, 7, 8, 9)
+    # (RDM_Net.py:96-97).
+    decoder_ids: Tuple[int, ...] = (1,)
+    # Input spatial size (RDM_Net.py:31: 226x226 RGB).
+    image_size: int = 226
+    # DORN head channels for decoder 1 (RDM_Net.py:147: conv2 -> 180 = 2*90).
+    ordinal_channels: int = 180
+    # Freeze encoder parameters (RDM_Net.py:9,46-47,65-67).
+    freeze_encoder: bool = False
+    # Compute dtype for the conv backbone ("bfloat16" or "float32"); the
+    # fusion tail always runs float32.  Mirrors AMP O2 (train.py:57-58).
+    compute_dtype: str = "float32"
+    # ALS iteration budget: 30 for the square 8x8 path, 100 for cross-scale
+    # (RDM_Net.py:364,378,392; computations.py:38,95).
+    als_iters_quadratic: int = 30
+    als_iters_rect: int = 100
+
+    def __post_init__(self):
+        for d in self.decoder_ids:
+            if d not in DECODER_SIZES:
+                raise ValueError(f"unknown decoder id {d}")
+        if len(set(self.decoder_ids)) != len(self.decoder_ids):
+            raise ValueError("duplicate decoder ids")
+
+    @property
+    def dorn_ids(self) -> Tuple[int, ...]:
+        return tuple(d for d in self.decoder_ids if d <= 5)
+
+    @property
+    def relative_ids(self) -> Tuple[int, ...]:
+        return tuple(d for d in self.decoder_ids if d > 5)
+
+    @property
+    def has_ordinal(self) -> bool:
+        return bool(self.dorn_ids)
+
+    @property
+    def vector_sizes(self) -> Tuple[int, ...]:
+        """Fusion weight-vector length per slot (Weights ctor RDM_Net.py:63).
+
+        Each decoder contributes one candidate per fine-detail slot its
+        decomposition produces.  DORN decoder id k (absolute map, size 2**n)
+        yields slots 0..n (D0 + F1..Fn); relative decoder id k yields slots
+        1..n (no D0, computations.py:368-392 relative_map=True).
+        The live config (1,) gives [1,1,1,1,0,0,0,0] (RDM_Net.py:63).
+        """
+        sizes = [0] * 8
+        for d in self.decoder_ids:
+            n = decomposition_depth(d)
+            lo = 0 if d <= 5 else 1
+            for slot in range(lo, n + 1):
+                sizes[slot] += 1
+        return tuple(sizes)
+
+    @property
+    def active_slots(self) -> Tuple[int, ...]:
+        """Slots with at least one candidate, ascending (matrix row order)."""
+        return tuple(i for i, s in enumerate(self.vector_sizes) if s > 0)
+
+    def num_wsm_layers(self, decoder_id: int) -> int:
+        return _decoder_num_wsm_layers(decoder_id)
+
+
+@dataclasses.dataclass(frozen=True)
+class SIDConfig:
+    """Spacing-increasing discretization constants (computations.py:559-631,
+    utils.py:120-211).  Note the reference uses K=68 for NYU inside
+    computations.py but K=90 in utils.py / depth2label_sid; the training
+    path goes through utils.depth2label_sid with K=90 (module.py:126,142)."""
+
+    alpha: float = 0.02
+    beta: float = 10.0
+    K: float = 90.0
+
+    @staticmethod
+    def for_dataset(name: str, training_path: bool = True) -> "SIDConfig":
+        table = {
+            "kitti": SIDConfig(0.001, 80.0, 71.0),
+            "nyu": SIDConfig(0.02, 10.0, 90.0 if training_path else 68.0),
+            "floorplan3d": SIDConfig(0.0552, 10.0, 68.0),
+            "structured3d": SIDConfig(0.02, 10.0, 68.0),
+        }
+        key = name.lower()
+        if key not in table:
+            raise ValueError(f"no dataset named {name}")
+        return table[key]
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "nyu"
+    # 'sparse_2_dense' h5 backend or 'labeled' mat backend etc.
+    # (nyu_dataloader.py:16 DATASET_TYPES).
+    dataset_type: str = "sparse_2_dense"
+    path: Optional[str] = None
+    output_size: Tuple[int, int] = (226, 226)
+    resize: int = 250
+    batch_size: int = 4          # train.py:23
+    eval_batch_size: int = 1     # module.py:24-28 (val batch 1)
+    num_workers: int = 6         # train.py:18
+    # 'host' = PIL/numpy reference-parity augmentation; 'device' = jax ops.
+    augment_backend: str = "host"
+    n_images: int = -1
+    download: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-4   # train.py:22
+    weight_decay: float = 0.0     # AdamW default used by module.py:41
+    min_epochs: int = 1
+    max_epochs: int = 1
+    seed: Optional[int] = None
+    # ReduceLROnPlateau on max val_delta1, patience 2 (module.py:42-46).
+    plateau_patience: int = 2
+    plateau_factor: float = 0.1
+    monitor: str = "delta1"
+    metrics: Tuple[str, ...] = (
+        "delta1", "delta2", "delta3", "mse", "mae", "log10", "rmse")
+    overfit: bool = False
+    dev: bool = False
+    debug_nans: bool = False      # analogue of --detect_anomaly train.py:20
+    log_every: int = 10
+    checkpoint_dir: str = "result"
+    run_name: str = "rd"
+    save_top_k: int = 1           # train.py:43
+    resume: Optional[str] = None
+    # Mesh: data-parallel size (-1 = all local devices).
+    data_parallel: int = -1
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    sid: SIDConfig = dataclasses.field(default_factory=SIDConfig)

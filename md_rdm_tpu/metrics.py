@@ -1,0 +1,80 @@
+"""Depth metrics with the reference's exact definitions (metrics.py:48-128).
+
+``MetricComputation.compute`` (metrics.py:58-66) clamps predictions to
+>= 1e-7 and evaluates only where target > 0.  Boolean fancy-indexing is
+replaced by masked reductions (static shapes for jit).
+
+Note: the reference's ``rmse`` is nonstandard - mean of sqrt((p-t)^2 / t)
+(metrics.py:113-116), kept faithful under the name ``rmse``; the standard
+root-mean-square error is available as ``rms``.
+"""
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import jax.numpy as jnp
+
+
+def _masked_mean(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    cnt = jnp.maximum(jnp.sum(mask), 1)
+    return jnp.sum(jnp.where(mask, values, 0.0)) / cnt
+
+
+def _delta(pred, target, mask, exp):
+    ratio = jnp.maximum(pred / target, target / pred)
+    return _masked_mean((ratio < 1.25 ** exp).astype(jnp.float32), mask)
+
+
+def compute_metrics(pred: jnp.ndarray, target: jnp.ndarray,
+                    names: Sequence[str]) -> Dict[str, jnp.ndarray]:
+    """Evaluate the named metrics; pred/target any matching shape."""
+    pred = jnp.maximum(pred, 1e-7)
+    mask = target > 0
+    safe_t = jnp.where(mask, target, 1.0)
+    out = {}
+    for name in names:
+        if name.startswith("delta"):
+            out[name] = _delta(pred, safe_t, mask, int(name[-1]))
+        elif name == "mse":
+            out[name] = _masked_mean((pred - safe_t) ** 2, mask)
+        elif name == "mae":
+            out[name] = _masked_mean(jnp.abs(pred - safe_t), mask)
+        elif name == "msle":
+            out[name] = _masked_mean(
+                (jnp.log1p(pred) - jnp.log1p(safe_t)) ** 2, mask)
+        elif name == "log10":
+            out[name] = _masked_mean(
+                jnp.abs(jnp.log10(pred) - jnp.log10(safe_t)), mask)
+        elif name == "absrel":
+            out[name] = _masked_mean(jnp.abs(pred - safe_t) / safe_t, mask)
+        elif name == "sqrel":
+            out[name] = _masked_mean((pred - safe_t) ** 2 / safe_t, mask)
+        elif name == "rmse":   # reference's nonstandard definition
+            out[name] = _masked_mean(
+                jnp.sqrt((pred - safe_t) ** 2 / safe_t), mask)
+        elif name == "rms":    # standard RMSE
+            out[name] = jnp.sqrt(_masked_mean((pred - safe_t) ** 2, mask))
+        else:
+            raise ValueError(f"unknown metric {name}")
+    return out
+
+
+class MetricAccumulator:
+    """Host-side running averages (MetricComputation sums, metrics.py:54-71)."""
+
+    def __init__(self, names: Sequence[str]):
+        self.names = list(names)
+        self.reset()
+
+    def reset(self):
+        self.count = 0
+        self.sums = {n: 0.0 for n in self.names}
+
+    def update(self, values: Dict[str, jnp.ndarray]):
+        self.count += 1
+        for n in self.names:
+            self.sums[n] += float(values[n])
+
+    def averages(self) -> Dict[str, float]:
+        c = max(self.count, 1)
+        return {n: self.sums[n] / c for n in self.names}

@@ -1,0 +1,116 @@
+"""Decoder branches: DORN ordinal heads and relative (comparison+ALS) heads.
+
+Reference: RDM_Net.py:137-396 (``Decoder`` + ``Ordinal_Layer``).
+
+Each decoder: _DenseBlock(24, 1056, bn8, gr48) -> 2208ch@8x8 -> WSM cascade
+((id-1) mod 5 stages) -> head:
+  * id == 1: 1x1 conv to 180 channels -> DORN ordinal regression
+  * id in 2..5: raw cascade output straight into DORN (the reference applies
+    no head conv for these ids - RDM_Net.py:156-159 - so ord_num = C/2)
+  * id > 5: 1x1 conv to 1 channel -> relative path (comparison matrix ->
+    Lloyd quantization -> ALS fill)
+
+DORN decode (RDM_Net.py:313-345): logits are clamped to [1e-8, 1e4], pair
+(A,B) softmax reduces to sigmoid(B - A), the decoded label is the count of
+pairs with P(B) > 0.5.  The reference's float64 cast exists only to tame
+softmax overflow; the sigmoid form is stable in float32.
+
+Gradient semantics: the reference's Lloyd quantization writes constants
+in-place, so no gradient reaches the relative decoders' convs through the
+comparison path; ``lloyd_quantize`` stops the gradient explicitly and ALS
+runs inside ``stop_gradient`` territory (also avoids differentiating 100
+fori_loop iterations).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from md_rdm_tpu.core.config import DECODER_SIZES
+from md_rdm_tpu.models.densenet import DenseBlock
+from md_rdm_tpu.models.wsm import WSMCascade, wsm_output_planes
+from md_rdm_tpu.ops.als import alternating_least_squares, quadratic_als
+from md_rdm_tpu.ops.comparison import comparison_cross_scale, comparison_v1
+from md_rdm_tpu.ops.paging import merge_pages, split_matrix
+from md_rdm_tpu.ops.quantize import lloyd_quantize
+from md_rdm_tpu.ops.resize import resize_bicubic
+
+Dtype = Any
+
+
+def dorn_decode(logits: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """DORN ordinal regression on NHWC logits (C = 2 * ord_num).
+
+    Returns (decoded (B,1,H,W) float32 label counts, probs (B,ord_num,H,W))
+    in NCHW to match the fusion tail's layout.
+    """
+    b, h, w, c = logits.shape
+    ord_num = c // 2
+    x = jnp.clip(logits.astype(jnp.float32), 1e-8, 1e4)
+    a = x[..., 0::2]
+    bb = x[..., 1::2]
+    probs = nn.sigmoid(bb - a)                      # (B,H,W,ord_num)
+    decoded = jnp.sum(probs > 0.5, axis=-1).astype(jnp.float32)
+    probs = jnp.transpose(probs, (0, 3, 1, 2))      # NCHW
+    return decoded[:, None, :, :], probs
+
+
+def relative_map_from_features(d: jnp.ndarray, size: int,
+                               als_iters_quadratic: int = 30,
+                               als_iters_rect: int = 100) -> jnp.ndarray:
+    """Relative-depth branch of Ordinal_Layer (RDM_Net.py:358-396).
+
+    d: (B, 1, size, size) single-channel feature map (NCHW).
+    size 8: full ratio matrix -> quadratic ALS.
+    size 16: cross-scale comparison vs bicubic-halved map -> rect ALS.
+    size >= 32: 16x16/8x8 tile paging, batched over pages.
+    """
+    if size == 8:
+        sparse = lloyd_quantize(comparison_v1(d), size=8)
+        return quadratic_als(sparse, n=3, num_iters=als_iters_quadratic)
+    dn_1 = resize_bicubic(d, size // 2)
+    if size == 16:
+        sparse = lloyd_quantize(comparison_cross_scale(d, dn_1), size=16)
+        return alternating_least_squares(sparse, n=4,
+                                         num_iters=als_iters_rect)
+    # paged path: tiles go into the batch axis -> one batched ALS call
+    dn_pages, dn1_pages = split_matrix(d, dn_1)      # (B,P,1,16,16)/(...,8,8)
+    b, p = dn_pages.shape[:2]
+    sparse = comparison_cross_scale(
+        dn_pages.reshape(b * p, 1, 16, 16), dn1_pages.reshape(b * p, 1, 8, 8))
+    sparse = lloyd_quantize(sparse, size=size)
+    filled = alternating_least_squares(sparse, n=4, num_iters=als_iters_rect)
+    return merge_pages(filled.reshape(b, p, 1, 16, 16), grid=size // 16)
+
+
+class Decoder(nn.Module):
+    """One decoder branch operating on NHWC encoder features."""
+
+    decoder_id: int
+    ordinal_channels: int = 180
+    als_iters_quadratic: int = 30
+    als_iters_rect: int = 100
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        did = self.decoder_id
+        num_wsm = (did - 1) % 5
+        x = DenseBlock(24, 8, 48, dtype=self.dtype,
+                       name="dense_layer")(x, train=train)
+        x = WSMCascade(num_wsm, dtype=self.dtype, name="wsm_block")(x)
+        size = DECODER_SIZES[did]
+
+        if did > 5:
+            x = nn.Conv(1, (1, 1), dtype=self.dtype, name="conv1")(x)
+            d = jnp.transpose(x, (0, 3, 1, 2)).astype(jnp.float32)  # NCHW
+            return relative_map_from_features(
+                d, size, self.als_iters_quadratic, self.als_iters_rect)
+
+        if did == 1:
+            x = nn.Conv(self.ordinal_channels, (1, 1), dtype=self.dtype,
+                        name="conv2")(x)
+        # ids 2..5: no head conv (faithful; ord_num = planes/2)
+        return dorn_decode(x)

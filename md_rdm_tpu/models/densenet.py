@@ -1,0 +1,118 @@
+"""DenseNet building blocks with torchvision semantics, NHWC for TPU.
+
+The reference hand-assembles its encoder from torchvision densenet internals
+(RDM_Net.py:515-534): ``_DenseBlock(num_layers, in_features, bn_size,
+growth_rate, drop_rate, memory_efficient)`` where each layer is
+BN -> ReLU -> 1x1 conv (bn_size * growth) -> BN -> ReLU -> 3x3 conv (growth)
+and concatenates its output onto the running feature stack;
+``_Transition`` is BN -> ReLU -> 1x1 conv -> 2x2 avg-pool stride 2.
+
+The reference passes unusual bn_size values (57/29/15 for the encoder
+blocks, 8 for the decoder block - RDM_Net.py:526-531,144), which we preserve
+exactly for shape parity.
+
+Layout is NHWC (channels-last) - the native TPU convolution layout - and the
+feature concatenation runs along the last axis, which XLA handles without
+data movement.  BatchNorm statistics/params stay float32 even in bfloat16
+compute mode.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+class DenseLayer(nn.Module):
+    """One torchvision _DenseLayer (bottleneck + 3x3 growth conv)."""
+
+    bn_size: int
+    growth_rate: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
+        h = nn.relu(h)
+        h = nn.Conv(self.bn_size * self.growth_rate, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv1")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32, name="norm2")(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.growth_rate, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv2")(h)
+        return h
+
+
+class DenseBlock(nn.Module):
+    """torchvision _DenseBlock: concat-growth over num_layers layers."""
+
+    num_layers: int
+    bn_size: int
+    growth_rate: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(self.num_layers):
+            new = DenseLayer(self.bn_size, self.growth_rate,
+                             dtype=self.dtype, name=f"denselayer{i + 1}")(
+                                 x, train=train)
+            x = jnp.concatenate([x, new.astype(x.dtype)], axis=-1)
+        return x
+
+
+class Transition(nn.Module):
+    """torchvision _Transition: BN -> ReLU -> 1x1 conv -> avgpool/2."""
+
+    num_output_features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32, name="norm")(x)
+        h = nn.relu(h)
+        h = nn.Conv(self.num_output_features, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv")(h)
+        h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+        return h
+
+
+def pad_br(x: jnp.ndarray) -> jnp.ndarray:
+    """ZeroPad2d((0,1,0,1)): one zero row at bottom, one column at right
+    (RDM_Net.py:532; applied after each encoder dense block :80,86,92)."""
+    return jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+
+
+class Encoder(nn.Module):
+    """DenseNet-161-style encoder (RDM_Net.py:515-534, forward :73-94).
+
+    226x226x3 -> conv7/2 -> 113 -> maxpool3/2 -> 57 -> dense(6,96,bn57)
+    -> 384ch -> pad -> 58 -> trans/2 -> 192ch@29 -> dense(12) -> 768 -> pad
+    -> 30 -> trans -> 384@15 -> dense(36) -> 2112 -> pad -> 16 -> trans
+    -> 1056@8.
+    """
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        x = nn.Conv(96, (7, 7), strides=(2, 2), padding=3,
+                    dtype=self.dtype, name="conv_e1")(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        x = DenseBlock(6, 57, 48, dtype=self.dtype, name="dense_e2")(x, train)
+        x = pad_br(x)
+        x = Transition(192, dtype=self.dtype, name="trans_e2")(x, train)
+        x = DenseBlock(12, 29, 48, dtype=self.dtype, name="dense_e3")(x, train)
+        x = pad_br(x)
+        x = Transition(384, dtype=self.dtype, name="trans_e3")(x, train)
+        x = DenseBlock(36, 15, 48, dtype=self.dtype, name="dense_e4")(x, train)
+        x = pad_br(x)
+        x = Transition(1056, dtype=self.dtype, name="trans_e4")(x, train)
+        return x

@@ -1,0 +1,89 @@
+"""DepthEstimationNet: encoder -> decoders -> fine-detail fusion.
+
+Reference: RDM_Net.py:25-135.  The live path instantiates only decoder 1
+(DORN 8x8); the authors' stated optimum adds relative decoders 6-9
+(RDM_Net.py:96-97).  All ten decoder ids are supported via
+``ModelConfig.decoder_ids``.
+
+Forward (RDM_Net.py:70-135):
+  encoder -> per-decoder maps -> DORN maps normalized by geometric mean and
+  decomposed (n = log2(size)); relative maps decomposed with
+  relative_map=True -> fine-detail slot matrices (log space) -> learned
+  fusion weights -> list of per-slot weighted log maps.
+
+Returns (yhat_components, ordinal_depth, ordinal_probs) where the ordinal
+outputs come from decoder 1 (None when absent), matching the reference's
+return signature.
+"""
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from md_rdm_tpu.core.config import ModelConfig, decomposition_depth
+from md_rdm_tpu.models.decoder import Decoder
+from md_rdm_tpu.models.densenet import Encoder
+from md_rdm_tpu.ops.decompose import decompose_depth_map, fine_detail_matrices, make_pred
+from md_rdm_tpu.ops.geometry import normalize_gm
+
+
+class Weights(nn.Module):
+    """Learnable fusion weights, one vector per active fine-detail slot.
+
+    Init is |N(0,1)| per the reference (RDM_Net.py:449-456); zero-size slots
+    simply have no parameter (the reference keeps empty frozen tensors).
+    """
+
+    vector_sizes: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, matrices: List[jnp.ndarray]) -> List[jnp.ndarray]:
+        names = ["d0", "f1", "f2", "f3", "f4", "f5", "f6", "f7"]
+        weights = []
+        for name, size in zip(names, self.vector_sizes):
+            if size == 0:
+                continue
+            weights.append(self.param(
+                name,
+                lambda key, shape: jnp.abs(
+                    jax.random.normal(key, shape, jnp.float32)),
+                (size, 1)))
+        return make_pred(weights, matrices)
+
+
+class DepthEstimationNet(nn.Module):
+    """Full model; input NHWC float images (B, 226, 226, 3)."""
+
+    config: ModelConfig = ModelConfig()
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.config
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        feats = Encoder(dtype=dtype, name="encoder")(x, train=train)
+        if cfg.freeze_encoder:
+            feats = jax.lax.stop_gradient(feats)
+
+        rows = []
+        ord_depth: Optional[jnp.ndarray] = None
+        ord_probs: Optional[jnp.ndarray] = None
+        for did in cfg.decoder_ids:
+            out = Decoder(did, ordinal_channels=cfg.ordinal_channels,
+                          als_iters_quadratic=cfg.als_iters_quadratic,
+                          als_iters_rect=cfg.als_iters_rect,
+                          dtype=dtype, name=f"d_{did}")(feats, train=train)
+            n = decomposition_depth(did)
+            if did <= 5:
+                depth, probs = out
+                if ord_depth is None:          # decoder 1 feeds the ord loss
+                    ord_depth, ord_probs = depth, probs
+                rows.append(decompose_depth_map(normalize_gm(depth), n))
+            else:
+                rows.append(decompose_depth_map(out, n, relative_map=True))
+
+        mats = fine_detail_matrices(rows)
+        yhat = Weights(cfg.vector_sizes, name="weight_layer")(mats)
+        return yhat, ord_depth, ord_probs

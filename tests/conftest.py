@@ -1,0 +1,32 @@
+"""Test env: force CPU backend with 8 virtual devices for mesh tests.
+
+Must run before jax is imported anywhere.
+"""
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The container's sitecustomize registers the axon TPU backend at
+# interpreter startup, before this file runs - the env var alone is not
+# enough; force the platform through the live config too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+# The read-only reference mount is used as a golden-value oracle in parity
+# tests (pure-torch modules only); never write bytecode there.
+sys.dont_write_bytecode = True
+REFERENCE_DIR = "/root/reference"
+
+
+def reference_importable() -> bool:
+    return os.path.isdir(REFERENCE_DIR)
+
+
+if reference_importable() and REFERENCE_DIR not in sys.path:
+    sys.path.insert(0, REFERENCE_DIR)
