@@ -1,0 +1,70 @@
+"""Benchmark: NYUv2-shape depth maps/sec/chip at batch 16 (BASELINE.md).
+
+Runs the flagship live-path forward (encoder -> d_1 DORN -> decomposition ->
+fusion -> recombination to the final 128x128 map) under one jit on the
+default backend (the real TPU chip), batch 16, and reports throughput vs
+the measured PyTorch-CPU baseline (tools/baseline_torch.py on this image:
+0.248 images/sec at batch 16, single CPU core, fusion tail included).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+import json
+import time
+
+import numpy as np
+
+# Measured on this container (tools/baseline_torch.py --batch 16): the
+# reference's live forward path in torch-CPU, fusion tail included.
+TORCH_CPU_IMAGES_PER_SEC = 0.248
+
+BATCH = 16
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    import os
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from md_rdm_tpu.core.config import ModelConfig
+    from md_rdm_tpu.models.rdm import DepthEstimationNet
+    from md_rdm_tpu.ops.decompose import recombination
+
+    model = DepthEstimationNet(
+        ModelConfig(decoder_ids=(1,), compute_dtype="bfloat16"))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((BATCH, 226, 226, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x[:1], train=False)
+
+    @jax.jit
+    def forward(x):
+        yhat, ord_depth, _ = model.apply(variables, x, train=False)
+        return recombination(list(yhat)), ord_depth
+
+    for _ in range(WARMUP):
+        jax.block_until_ready(forward(x))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        jax.block_until_ready(forward(x))
+    dt = (time.perf_counter() - t0) / ITERS
+
+    ips = BATCH / dt
+    print(json.dumps({
+        "metric": "nyu_depth_maps_per_sec_per_chip_b16",
+        "value": round(ips, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / TORCH_CPU_IMAGES_PER_SEC, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

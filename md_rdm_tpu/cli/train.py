@@ -1,0 +1,194 @@
+"""Training CLI - the reference's train.py flag surface, TPU-native.
+
+Reference flags (train.py:9-26): --seed --precision --gpus --dev --overfit
+--min_epochs --max_epochs --metrics --worker --find_learning_rate
+--detect_anomaly --learning_rate --batch_size --nyu_path.
+
+Mapping: --gpus N -> --devices N (data-parallel mesh size);
+--precision 16 -> bfloat16 compute; --detect_anomaly -> jax_debug_nans;
+--find_learning_rate runs an LR range sweep (exponential ramp, pick the
+steepest-descent point - the tuner.lr_find equivalent, train.py:74-80).
+
+Usage:
+    python -m md_rdm_tpu.cli.train --nyu_path /data/nyu --max_epochs 5
+    python -m md_rdm_tpu.cli.train --dataset synthetic --dev
+"""
+from __future__ import annotations
+
+import argparse
+import random
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("Trains mono depth estimation models (TPU)")
+    p.add_argument("--seed", default=None, type=int, help="Random seed")
+    p.add_argument("--precision", default=16, type=int, choices=(16, 32),
+                   help="16 = bfloat16 conv compute, 32 = float32")
+    p.add_argument("--devices", "--gpus", dest="devices", type=int,
+                   default=-1, help="Data-parallel mesh size (-1 = all)")
+    p.add_argument("--dev", action="store_true",
+                   help="Fast dev run: 1 batch per train/val epoch")
+    p.add_argument("--overfit", action="store_true",
+                   help="Overfit a single batch")
+    p.add_argument("--min_epochs", default=1, type=int)
+    p.add_argument("--max_epochs", default=1, type=int)
+    p.add_argument("--metrics", nargs="+",
+                   default=["delta1", "delta2", "delta3", "mse", "mae",
+                            "log10", "rmse"])
+    p.add_argument("--worker", default=6, type=int,
+                   help="Data loader worker threads")
+    p.add_argument("--find_learning_rate", action="store_true")
+    p.add_argument("--detect_anomaly", action="store_true",
+                   help="Enable jax_debug_nans")
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--nyu_path", type=str, default=None,
+                   help="Path to NYU data set")
+    p.add_argument("--dataset", type=str, default="nyu",
+                   choices=("nyu", "kitti", "floorplan3d", "structured3d",
+                            "synthetic"))
+    p.add_argument("--dataset_type", type=str, default="sparse_2_dense")
+    p.add_argument("--data_path", type=str, default=None,
+                   help="Dataset root (non-NYU datasets)")
+    p.add_argument("--decoders", type=int, nargs="+", default=[1],
+                   help="Decoder ids to instantiate (1-10)")
+    p.add_argument("--augment", choices=("host", "device"), default="host")
+    p.add_argument("--workdir", type=str, default="result")
+    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--download", action="store_true")
+    p.add_argument("--profile", action="store_true",
+                   help="Capture a jax.profiler trace of the first steps")
+    return p
+
+
+def make_datasets(args):
+    from md_rdm_tpu.data.base import DataLoader
+
+    if args.dataset == "synthetic" or (args.dataset == "nyu"
+                                       and args.nyu_path is None):
+        from md_rdm_tpu.data.synthetic import SyntheticDepthDataset
+        train_ds = SyntheticDepthDataset("train", size=4 * args.batch_size)
+        val_ds = SyntheticDepthDataset("val", size=2 * args.batch_size, seed=1)
+    elif args.dataset == "nyu":
+        from md_rdm_tpu.data.nyu import NYUDataset
+        train_ds = NYUDataset(args.nyu_path, dataset_type=args.dataset_type,
+                              split="train", output_size=(226, 226),
+                              download=args.download)
+        val_ds = NYUDataset(args.nyu_path, dataset_type="labeled",
+                            split="val", output_size=(226, 226),
+                            download=args.download)
+    elif args.dataset == "kitti":
+        from md_rdm_tpu.data.kitti import KITTIDataset
+        train_ds = KITTIDataset(args.data_path, "train")
+        val_ds = KITTIDataset(args.data_path, "val")
+    elif args.dataset == "floorplan3d":
+        from md_rdm_tpu.data.floorplan3d import Floorplan3DDataset
+        train_ds = Floorplan3DDataset(args.data_path, args.dataset_type,
+                                      "train")
+        val_ds = Floorplan3DDataset(args.data_path, args.dataset_type, "val")
+    else:
+        from md_rdm_tpu.data.structured3d import Structured3DDataset
+        train_ds = Structured3DDataset(args.data_path, split="train")
+        val_ds = Structured3DDataset(args.data_path, split="val")
+
+    train_loader = DataLoader(train_ds, args.batch_size, shuffle=True,
+                              num_workers=args.worker, drop_last=True)
+    val_loader = DataLoader(val_ds, 1, shuffle=False, num_workers=1)
+    return train_loader, val_loader
+
+
+def find_learning_rate(trainer, state, loader, lo=1e-7, hi=1.0,
+                       num_steps=50) -> float:
+    """LR range test (the tuner.lr_find equivalent): ramp LR exponentially,
+    track loss, suggest the LR at the steepest loss descent."""
+    import jax
+    import jax.numpy as jnp
+    from md_rdm_tpu.training.optim import set_lr
+
+    lrs = np.exp(np.linspace(np.log(lo), np.log(hi), num_steps))
+    losses = []
+    it = iter(loader)
+    batch = next(it)
+    for lr in lrs:
+        state = state.replace(opt_state=set_lr(state.opt_state, float(lr)))
+        try:
+            x, y = next(it)
+        except StopIteration:
+            it = iter(loader)
+            x, y = next(it)
+        xd, yd = trainer._put(x, y)
+        state, logs = trainer._train_step(state, xd, yd)
+        losses.append(float(jax.device_get(logs["loss"])))
+        if not np.isfinite(losses[-1]):
+            break
+    losses = np.asarray(losses)
+    valid = np.isfinite(losses)
+    if valid.sum() < 3:
+        return 1e-4
+    grad = np.gradient(losses[valid], np.log(lrs[: valid.sum()]))
+    return float(lrs[:valid.sum()][np.argmin(grad)])
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    if args.seed is None:
+        args.seed = random.randrange(4294967295)
+    print(f"random seed: {args.seed}")
+    np.random.seed(args.seed)
+
+    from md_rdm_tpu.core.config import (
+        Config, DataConfig, ModelConfig, TrainConfig)
+    from md_rdm_tpu.training.loop import Trainer
+
+    config = Config(
+        model=ModelConfig(
+            decoder_ids=tuple(args.decoders),
+            compute_dtype="bfloat16" if args.precision == 16 else "float32"),
+        data=DataConfig(dataset=args.dataset,
+                        dataset_type=args.dataset_type,
+                        path=args.nyu_path or args.data_path,
+                        batch_size=args.batch_size,
+                        num_workers=args.worker,
+                        augment_backend=args.augment,
+                        download=args.download),
+        train=TrainConfig(
+            learning_rate=args.learning_rate,
+            min_epochs=args.min_epochs, max_epochs=args.max_epochs,
+            seed=args.seed, metrics=tuple(args.metrics),
+            overfit=args.overfit, dev=args.dev,
+            debug_nans=args.detect_anomaly,
+            checkpoint_dir=args.workdir, resume=args.resume,
+            data_parallel=args.devices),
+    )
+
+    train_loader, val_loader = make_datasets(args)
+    trainer = Trainer(config, workdir=args.workdir)
+
+    x0, _ = next(iter(val_loader))
+    state = trainer.init_state(x0)
+    if args.resume:
+        _, state = trainer.restore(jax.device_get(state))
+
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(str(trainer.workdir / "profile"))
+
+    if args.find_learning_rate:
+        suggested = find_learning_rate(trainer, state, train_loader)
+        print(f"Old learning rate: {args.learning_rate}")
+        print(f"Suggested learning rate: {suggested}")
+        return
+
+    state = trainer.fit(state, train_loader, val_loader)
+
+    if args.profile:
+        import jax
+        jax.profiler.stop_trace()
+
+
+if __name__ == "__main__":
+    main()

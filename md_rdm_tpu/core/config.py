@@ -152,7 +152,7 @@ class DataConfig:
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     learning_rate: float = 1e-4   # train.py:22
-    weight_decay: float = 0.0     # AdamW default used by module.py:41
+    weight_decay: float = 0.01    # torch AdamW default (module.py:41)
     min_epochs: int = 1
     max_epochs: int = 1
     seed: Optional[int] = None

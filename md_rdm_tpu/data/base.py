@@ -1,0 +1,160 @@
+"""Dataset base classes and a torch-free batched loader.
+
+Reference: dataloaders/dataloader.py (``BaseDataset`` split dispatch :4-40,
+``ConcatDataset`` :42-61) and the DataLoader usage in module.py:19-28.
+
+The loader replaces torch's DataLoader with a thread-pool prefetching
+iterator producing numpy batches (NHWC images + NCHW depth), ready for
+``jax.device_put`` - no framework dependency on the host path.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+Sample = Tuple[np.ndarray, np.ndarray]   # (rgb HWC float, depth HW float)
+
+
+class BaseDataset:
+    """Split-dispatched dataset: subclasses implement get_raw + the three
+    preprocess hooks (train/val/test)."""
+
+    def __init__(self, split: str):
+        self.split = split
+        if "train" in split:
+            self.transform = self.training_preprocess
+        elif split == "val":
+            self.transform = self.validation_preprocess
+        elif split == "test":
+            self.transform = self.test_preprocess
+        else:
+            raise RuntimeError(
+                f"Invalid split: {split}; supported: train, val, test")
+
+    # hooks ----------------------------------------------------------------
+    def get_raw(self, index: int) -> Sample:
+        raise NotImplementedError
+
+    def training_preprocess(self, rgb, depth) -> Sample:
+        raise NotImplementedError
+
+    def validation_preprocess(self, rgb, depth) -> Sample:
+        raise NotImplementedError
+
+    def test_preprocess(self, rgb, depth) -> Sample:
+        raise NotImplementedError
+
+    # protocol -------------------------------------------------------------
+    def __getitem__(self, index: int) -> Sample:
+        rgb, depth = self.get_raw(index)
+        return self.transform(rgb, depth)
+
+    def __len__(self) -> int:
+        return len(self.images)  # type: ignore[attr-defined]
+
+
+class ConcatDataset:
+    """Shuffled mix of several datasets (dataloader.py:42-61), with a fixed
+    per-instance permutation of dataset membership."""
+
+    def __init__(self, datasets: Sequence, seed: int = 0):
+        self.datasets = list(datasets)
+        rng = np.random.default_rng(seed)
+        self.indices = np.concatenate(
+            [np.full(len(d), i) for i, d in enumerate(self.datasets)])
+        rng.shuffle(self.indices)
+
+    def __getitem__(self, i: int) -> Sample:
+        ds_idx = self.indices[i]
+        item_index = int((self.indices[:i] == ds_idx).sum())
+        return self.datasets[ds_idx][item_index]
+
+    def __len__(self) -> int:
+        return sum(len(d) for d in self.datasets)
+
+
+def _collate(samples: List[Sample]) -> Tuple[np.ndarray, np.ndarray]:
+    """Stack to (B,H,W,3) float32 images and (B,1,H,W) float32 depth."""
+    rgbs, depths = zip(*samples)
+    x = np.stack([np.asarray(r, np.float32) for r in rgbs])
+    if x.ndim == 4 and x.shape[1] == 3 and x.shape[-1] != 3:
+        x = x.transpose(0, 2, 3, 1)          # CHW -> HWC
+    y = np.stack([np.asarray(d, np.float32) for d in depths])
+    if y.ndim == 3:
+        y = y[:, None, :, :]
+    return np.ascontiguousarray(x), np.ascontiguousarray(y)
+
+
+class DataLoader:
+    """Shuffling, prefetching batch iterator.
+
+    num_workers > 0 uses a thread pool for sample decode (h5/PNG/jpeg
+    decode releases the GIL) and a bounded queue for pipeline overlap -
+    the role torch's worker processes play in the reference
+    (module.py:19-28, pin_memory/num_workers).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 num_workers: int = 0, drop_last: bool = False,
+                 seed: int = 0, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = num_workers
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self) -> List[np.ndarray]:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(idx)
+        batches = [idx[i:i + self.batch_size]
+                   for i in range(0, len(idx), self.batch_size)]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+        return batches
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        batches = self._index_batches()
+        self._epoch += 1
+        if self.num_workers <= 0:
+            for b in batches:
+                yield _collate([self.dataset[int(i)] for i in b])
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(
+                        lambda i: self.dataset[int(i)], b))
+                    q.put(_collate(samples))
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()

@@ -1,0 +1,161 @@
+"""The training loop: mesh-sharded jit steps, epoch driver, checkpointing.
+
+Replaces the Lightning Trainer assembly (train.py:41-82): seed handling,
+ModelCheckpoint on max val_delta1, ReduceLROnPlateau, fast-dev-run /
+overfit modes, profiler hook, progress logging.
+
+TPU mapping: one ``jax.sharding.Mesh`` over the data axis; parameters and
+optimizer state are replicated, batches sharded on axis 0.  The jit'd train
+step computes a global-mean loss, so the SPMD partitioner inserts the
+gradient psum over ICI automatically - no hand-written collectives
+(SURVEY.md 2.8).
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from md_rdm_tpu.core.config import Config
+from md_rdm_tpu.core.mesh import (
+    batch_sharding,
+    create_mesh,
+    replicate,
+    shard_batch,
+)
+from md_rdm_tpu.metrics import MetricAccumulator
+from md_rdm_tpu.training.checkpoint import CheckpointManager
+from md_rdm_tpu.training.module import DepthTrainer, TrainState
+from md_rdm_tpu.training.optim import (
+    PlateauScheduler,
+    get_lr,
+    make_optimizer,
+    set_lr,
+)
+from md_rdm_tpu.utils.logging import ScalarLogger
+
+
+class Trainer:
+    def __init__(self, config: Config, workdir: Optional[str] = None):
+        self.config = config
+        self.workdir = Path(workdir or config.train.checkpoint_dir)
+        self.workdir.mkdir(parents=True, exist_ok=True)
+        self.mesh = create_mesh(config.train.data_parallel)
+        self.module = DepthTrainer(config)
+        self.tx = make_optimizer(config.train.learning_rate,
+                                 config.train.weight_decay)
+        self.scheduler = PlateauScheduler(
+            mode="max", patience=config.train.plateau_patience,
+            factor=config.train.plateau_factor)
+        self.logger = ScalarLogger(str(self.workdir / config.train.run_name))
+        self.ckpt = CheckpointManager(
+            str(self.workdir / "checkpoints"),
+            monitor=config.train.monitor, mode="max",
+            save_top_k=config.train.save_top_k)
+        if config.train.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+
+        self._train_step = jax.jit(
+            lambda state, x, y: self.module.train_step(state, self.tx, x, y),
+            donate_argnums=(0,))
+        self._eval_step = jax.jit(self.module.eval_step)
+
+    # ------------------------------------------------------------- state ---
+    def init_state(self, sample_x: np.ndarray,
+                   rng: Optional[jax.Array] = None) -> TrainState:
+        seed = self.config.train.seed
+        rng = rng if rng is not None else jax.random.PRNGKey(
+            seed if seed is not None else 0)
+        state = self.module.init(rng, self.tx, jnp.asarray(sample_x))
+        return replicate(self.mesh, state)
+
+    def restore(self, state_template: TrainState) -> Tuple[int, TrainState]:
+        step, state, extra = self.ckpt.restore(state_template)
+        if extra.get("scheduler"):
+            self.scheduler.load_state_dict(extra["scheduler"])
+        return step, replicate(self.mesh, state)
+
+    # -------------------------------------------------------------- epochs ---
+    def _put(self, x, y):
+        n = self.mesh.devices.size
+        b = x.shape[0]
+        if b % n != 0:            # pad to a shardable batch (eval tail)
+            pad = n - b % n
+            x = np.concatenate([x, np.repeat(x[-1:], pad, 0)])
+            y = np.concatenate([y, np.repeat(y[-1:], pad, 0)])
+        s = batch_sharding(self.mesh)
+        return jax.device_put(jnp.asarray(x), s), jax.device_put(
+            jnp.asarray(y), s)
+
+    def train_epoch(self, state: TrainState, loader: Iterable,
+                    epoch: int) -> Tuple[TrainState, Dict[str, float]]:
+        cfg = self.config.train
+        acc = MetricAccumulator(list(cfg.metrics) + ["loss"])
+        step_times = []
+        fixed_batch = None
+        for i, (x, y) in enumerate(loader):
+            if cfg.overfit:
+                if fixed_batch is None:
+                    fixed_batch = (x, y)
+                x, y = fixed_batch
+            xd, yd = self._put(x, y)
+            t0 = time.perf_counter()
+            state, logs = self._train_step(state, xd, yd)
+            logs = jax.device_get(logs)
+            step_times.append(time.perf_counter() - t0)
+            acc.update({k: logs[k] for k in acc.names})
+            if i % cfg.log_every == 0:
+                self.logger.log(int(jax.device_get(state.step)),
+                                {k: float(v) for k, v in logs.items()},
+                                prefix="train_")
+            if cfg.dev and i >= 0:
+                break
+        avgs = acc.averages()
+        avgs["step_time_s"] = float(np.mean(step_times[1:])) \
+            if len(step_times) > 1 else float(step_times[0])
+        return state, avgs
+
+    def eval_epoch(self, state: TrainState, loader: Iterable,
+                   epoch: int) -> Dict[str, float]:
+        cfg = self.config.train
+        acc = MetricAccumulator(list(cfg.metrics))
+        for i, (x, y) in enumerate(loader):
+            xd, yd = self._put(x, y)
+            logs = jax.device_get(self._eval_step(state, xd, yd))
+            acc.update(logs)
+            if cfg.dev and i >= 0:
+                break
+        return acc.averages()
+
+    def fit(self, state: TrainState, train_loader: Iterable,
+            val_loader: Iterable) -> TrainState:
+        cfg = self.config.train
+        for epoch in range(cfg.max_epochs):
+            state, train_metrics = self.train_epoch(state, train_loader, epoch)
+            val_metrics = self.eval_epoch(state, val_loader, epoch)
+            self.logger.log(epoch, train_metrics, prefix="epoch_train_")
+            self.logger.log(epoch, val_metrics, prefix="val_")
+
+            monitored = val_metrics[cfg.monitor]
+            lr = get_lr(state.opt_state)
+            new_lr = self.scheduler.step(monitored, lr)
+            if new_lr != lr:
+                state = state.replace(
+                    opt_state=set_lr(state.opt_state, new_lr))
+            self.logger.log(epoch, {"lr": new_lr})
+
+            self.ckpt.save(
+                epoch, jax.device_get(state), val_metrics,
+                extra={"scheduler": self.scheduler.state_dict()})
+            print(f"epoch {epoch}: "
+                  + " ".join(f"val_{k}={v:.4f}"
+                             for k, v in val_metrics.items())
+                  + f" lr={new_lr:.2e}"
+                  f" step_time={train_metrics['step_time_s']*1e3:.1f}ms")
+            if cfg.dev:
+                break
+        return state

@@ -18,6 +18,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the full-model train step takes minutes to
+# compile on CPU; cache it across test runs.
+_CACHE = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 # The read-only reference mount is used as a golden-value oracle in parity
 # tests (pure-torch modules only); never write bytecode there.
 sys.dont_write_bytecode = True

@@ -1,0 +1,128 @@
+"""End-to-end training tests: loss assembly, optimizer step, mesh sharding,
+checkpoint round trip (SURVEY.md 4: multi-chip tests on a fake-device mesh).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from md_rdm_tpu.core.config import Config, DataConfig, ModelConfig, TrainConfig
+from md_rdm_tpu.training.module import DepthTrainer, mask_target
+from md_rdm_tpu.training.optim import PlateauScheduler, get_lr, make_optimizer, set_lr
+
+
+def _synthetic_batch(b=2, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.random((b, 226, 226, 3)).astype(np.float32)
+    y = (rng.random((b, 1, 226, 226)).astype(np.float32) * 9 + 0.5)
+    y[:, :, :5, :5] = 0.0   # some invalid pixels
+    return x, y
+
+
+def test_mask_target_semantics():
+    # module.py:75-78: valid -> gt + 1e-4; invalid -> 1.0001
+    y = jnp.asarray([[-1.0, 0.0, 2.5]])
+    out = np.asarray(mask_target(y))
+    np.testing.assert_allclose(out, [[1.0001, 1.0001, 2.5001]], rtol=1e-6)
+
+
+def test_plateau_scheduler_torch_semantics():
+    s = PlateauScheduler(mode="max", patience=2, factor=0.1)
+    lr = 1e-4
+    lr = s.step(0.5, lr)          # first epoch: best=0.5
+    assert lr == 1e-4
+    lr = s.step(0.5, lr)          # no improvement (rel threshold): bad=1
+    lr = s.step(0.5, lr)          # bad=2
+    assert lr == 1e-4             # patience=2 not yet exceeded
+    lr = s.step(0.5, lr)          # bad=3 > patience -> reduce
+    np.testing.assert_allclose(lr, 1e-5)
+    lr = s.step(0.9, lr)          # improvement resets
+    assert s.num_bad_epochs == 0
+
+
+@pytest.fixture(scope="module")
+def trainer_state():
+    cfg = Config(
+        model=ModelConfig(decoder_ids=(1,)),
+        train=TrainConfig(metrics=("delta1", "mse"), dev=True,
+                          data_parallel=1),
+    )
+    module = DepthTrainer(cfg)
+    tx = make_optimizer(cfg.train.learning_rate)
+    x, _ = _synthetic_batch()
+    state = module.init(jax.random.PRNGKey(0), tx, jnp.asarray(x))
+    step = jax.jit(lambda s, x, y: module.train_step(s, tx, x, y))
+    return cfg, module, tx, state, step
+
+
+def test_train_step_decreases_nothing_nan(trainer_state):
+    cfg, module, tx, state, step = trainer_state
+    x, y = _synthetic_batch()
+    state2, logs = step(state, jnp.asarray(x), jnp.asarray(y))
+    logs = jax.device_get(logs)
+    assert np.isfinite(logs["loss"]) and np.isfinite(logs["MSE"])
+    assert np.isfinite(logs["Ord_Loss"]) and logs["Ord_Loss"] > 0
+    assert int(state2.step) == 1
+    # params actually moved
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    p1 = jax.tree_util.tree_leaves(state2.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+    # second step with same donated signature works and loss is finite
+    state3, logs3 = step(state2, jnp.asarray(x), jnp.asarray(y))
+    assert np.isfinite(float(logs3["loss"]))
+
+
+def test_eval_step_metrics(trainer_state):
+    cfg, module, tx, state, _step = trainer_state
+    x, y = _synthetic_batch()
+    logs = jax.device_get(
+        jax.jit(module.eval_step)(state, jnp.asarray(x), jnp.asarray(y)))
+    assert set(logs) == {"delta1", "mse"}
+    assert 0.0 <= logs["delta1"] <= 1.0
+
+
+def test_lr_injection_no_recompile(trainer_state):
+    cfg, module, tx, state, _step = trainer_state
+    lr0 = get_lr(state.opt_state)
+    new_opt = set_lr(state.opt_state, lr0 * 0.1)
+    np.testing.assert_allclose(get_lr(new_opt), lr0 * 0.1)
+
+
+def test_multichip_data_parallel_step(trainer_state):
+    """Full train step sharded over all 8 virtual CPU devices."""
+    from md_rdm_tpu.core.mesh import batch_sharding, create_mesh, replicate
+
+    cfg, module, tx, state, step = trainer_state
+    mesh = create_mesh(-1)
+    assert mesh.devices.size == 8
+    state8 = replicate(mesh, state)
+    x, y = _synthetic_batch(b=8)
+    s = batch_sharding(mesh)
+    xd = jax.device_put(jnp.asarray(x), s)
+    yd = jax.device_put(jnp.asarray(y), s)
+    state2, logs = step(state8, xd, yd)
+    assert np.isfinite(float(logs["loss"]))
+    # replicated params stay replicated after the sharded step
+    leaf = jax.tree_util.tree_leaves(state2.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_checkpoint_roundtrip(tmp_path, trainer_state):
+    from md_rdm_tpu.training.checkpoint import CheckpointManager
+
+    cfg, module, tx, state, _step = trainer_state
+    mgr = CheckpointManager(str(tmp_path / "ck"), monitor="delta1",
+                            mode="max", save_top_k=1)
+    host_state = jax.device_get(state)
+    mgr.save(0, host_state, {"delta1": 0.3},
+             extra={"scheduler": {"best": 0.3}})
+    mgr.save(1, host_state, {"delta1": 0.7})
+    mgr.save(2, host_state, {"delta1": 0.5})
+    assert mgr.best_step() == 1
+    step, restored, extra = mgr.restore(host_state)
+    assert step == 1
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(host_state.params)[0]))
+    mgr.close()
