@@ -61,6 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--download", action="store_true")
     p.add_argument("--profile", action="store_true",
                    help="Capture a jax.profiler trace of the first steps")
+    p.add_argument("--platform", type=str, default=None,
+                   choices=("cpu", "tpu"),
+                   help="Force jax backend (cpu useful with --host_devices)")
+    p.add_argument("--host_devices", type=int, default=0,
+                   help="Virtual CPU device count for mesh testing")
     return p
 
 
@@ -135,6 +140,9 @@ def find_learning_rate(trainer, state, loader, lo=1e-7, hi=1.0,
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    from md_rdm_tpu.core.platform import select_platform
+    select_platform(args.platform, args.host_devices)
+
     if args.seed is None:
         args.seed = random.randrange(4294967295)
     print(f"random seed: {args.seed}")
@@ -165,6 +173,8 @@ def main(argv=None):
             data_parallel=args.devices),
     )
 
+    import jax
+
     train_loader, val_loader = make_datasets(args)
     trainer = Trainer(config, workdir=args.workdir)
 
@@ -174,7 +184,6 @@ def main(argv=None):
         _, state = trainer.restore(jax.device_get(state))
 
     if args.profile:
-        import jax
         jax.profiler.start_trace(str(trainer.workdir / "profile"))
 
     if args.find_learning_rate:

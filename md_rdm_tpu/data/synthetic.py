@@ -38,7 +38,7 @@ class SyntheticDepthDataset(BaseDataset):
         h, w = self.output_size
         depth = 1.0 + 4.0 * (1.0 + _field(rng, h, w) / 4.0)   # ~[1, 9] m
         rgb = np.stack([_field(rng, h, w) for _ in range(3)], axis=-1)
-        rgb = (rgb - rgb.min()) / (rgb.ptp() + 1e-6)
+        rgb = (rgb - rgb.min()) / (np.ptp(rgb) + 1e-6)
         return rgb.astype(np.float32), depth.astype(np.float32)
 
     def training_preprocess(self, rgb, depth):

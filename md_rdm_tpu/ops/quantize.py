@@ -57,10 +57,19 @@ def lloyd_quantize(ratios: jnp.ndarray, size: int) -> jnp.ndarray:
     ratios: any shape; ``size`` selects the per-resolution table.
     Returns same-shape float32 tensor of reconstruction levels,
     with gradients stopped (see module docstring).
+
+    Gather-free closed form: because the thresholds are sorted, the index
+    is a prefix count and
+
+        inv[count(r >= q_i)] = inv[0] + sum_i 1[r >= q_i] * (inv[i+1]-inv[i])
+
+    i.e. one (N, 40) indicator build plus a dot with the level deltas -
+    VPU comparisons feeding a tiny MXU contraction instead of a gather.
     """
     q, inv = quant_tables(size)
     qj = jnp.asarray(q, jnp.float32)
-    invj = jnp.asarray(inv, jnp.float32)
-    idx = jnp.searchsorted(qj, ratios, side="right")
-    out = jnp.take(invj, idx)
-    return jax.lax.stop_gradient(out.astype(jnp.float32))
+    dinv = jnp.asarray(np.diff(inv), jnp.float32)
+    flat = ratios.reshape(-1, 1)
+    ind = (flat >= qj[None, :]).astype(jnp.float32)
+    out = jnp.float32(inv[0]) + ind @ dinv
+    return jax.lax.stop_gradient(out.reshape(ratios.shape))
