@@ -45,16 +45,18 @@ def main():
     x = jnp.asarray(rng.random((BATCH, 226, 226, 3)), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x[:1], train=False)
 
+    # NOTE: variables must be an explicit argument - closing over them bakes
+    # 90M parameters into the HLO as constants (oversized compile payloads).
     @jax.jit
-    def forward(x):
+    def forward(variables, x):
         yhat, ord_depth, _ = model.apply(variables, x, train=False)
         return recombination(list(yhat)), ord_depth
 
     for _ in range(WARMUP):
-        jax.block_until_ready(forward(x))
+        jax.block_until_ready(forward(variables, x))
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        jax.block_until_ready(forward(x))
+        jax.block_until_ready(forward(variables, x))
     dt = (time.perf_counter() - t0) / ITERS
 
     ips = BATCH / dt

@@ -100,7 +100,12 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  num_workers: int = 0, drop_last: bool = False,
-                 seed: int = 0, prefetch: int = 2):
+                 seed: int = 0, prefetch: int = 2,
+                 sample_weights: Optional[np.ndarray] = None,
+                 num_samples: Optional[int] = None):
+        """``sample_weights``/``num_samples`` enable weighted sampling with
+        replacement - the WeightedRandomSampler role the legacy loop uses to
+        draw 3200 KITTI val samples per epoch (main.py:83-85,102-104)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -108,19 +113,33 @@ class DataLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        self.sample_weights = sample_weights
+        self.num_samples = num_samples
         self._epoch = 0
 
+    def _num_indices(self) -> int:
+        return (self.num_samples if self.num_samples is not None
+                else len(self.dataset))
+
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = self._num_indices()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def _index_batches(self) -> List[np.ndarray]:
-        idx = np.arange(len(self.dataset))
-        if self.shuffle:
-            rng = np.random.default_rng(self.seed + self._epoch)
-            rng.shuffle(idx)
+        rng = np.random.default_rng(self.seed + self._epoch)
+        if self.sample_weights is not None or self.num_samples is not None:
+            w = (np.asarray(self.sample_weights, np.float64)
+                 if self.sample_weights is not None
+                 else np.ones(len(self.dataset)))
+            w = w / w.sum()
+            idx = rng.choice(len(self.dataset), size=self._num_indices(),
+                             replace=True, p=w)
+        else:
+            idx = np.arange(len(self.dataset))
+            if self.shuffle:
+                rng.shuffle(idx)
         batches = [idx[i:i + self.batch_size]
                    for i in range(0, len(idx), self.batch_size)]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:

@@ -10,7 +10,15 @@ from md_rdm_tpu.ops.decompose import (
     slot_index,
     squared_err,
 )
-from md_rdm_tpu.ops.geometry import geometric_mean_flat, normalize_gm, quick_gm
+from md_rdm_tpu.ops.eigen import dominant_eigenvalue, principal_eigen
+from md_rdm_tpu.ops.geometry import (
+    find_nans,
+    geometric_mean_flat,
+    geometric_resize,
+    min_eps,
+    normalize_gm,
+    quick_gm,
+)
 from md_rdm_tpu.ops.paging import merge_pages, split_into_tiles, split_matrix
 from md_rdm_tpu.ops.quantize import lloyd_quantize, quant_tables
 from md_rdm_tpu.ops.resize import (

@@ -37,3 +37,38 @@ def normalize_gm(maps: jnp.ndarray) -> jnp.ndarray:
     """
     gm = quick_gm(maps)
     return maps / gm.reshape((-1,) + (1,) * (maps.ndim - 1))
+
+
+def geometric_resize(maps: jnp.ndarray, n: int = 1) -> jnp.ndarray:
+    """Downscale (B, 1, H, W) by 2**n via per-2x2-block geometric means.
+
+    Replaces the reference's triple Python loop (computations.py:313-355,
+    ``alt_resize``/``geometric_resize``/``compress_entry``) with
+    exp(avgpool2(log)) - one reshape-mean per level.
+    """
+    for _ in range(n):
+        b, c, h, w = maps.shape
+        lg = jnp.log(maps).reshape(b, c, h // 2, 2, w // 2, 2)
+        maps = jnp.exp(jnp.mean(lg, axis=(3, 5)))
+    return maps
+
+
+def min_eps(losses, eps: float = 1e-6) -> bool:
+    """Convergence check on an ALS loss history (computations.py:157-167):
+    True while the last delta exceeds eps (host-side helper; the compiled
+    ALS loop uses a fixed iteration count like the reference's live path).
+    """
+    if len(losses) < 2:
+        return True
+    return abs(float(losses[-1]) - float(losses[-2])) > eps
+
+
+def find_nans(tree) -> bool:
+    """True if any leaf of a pytree contains NaNs (computations.py:297-306;
+    debugging aid alongside the jax_debug_nans flag)."""
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if bool(jnp.isnan(jnp.asarray(leaf)).any()):
+            return True
+    return False
