@@ -33,13 +33,13 @@ class CheckpointManager:
 
     def save(self, epoch: int, state: Any, metrics: Dict[str, float],
              extra: Optional[Dict[str, Any]] = None):
-        payload = {"state": state}
+        args = {"state": ocp.args.StandardSave(state)}
         if extra:
-            payload["extra"] = extra
+            # extras (scheduler state etc.) may hold strings -> JSON handler
+            args["extra"] = ocp.args.JsonSave(extra)
         self._mgr.save(
             epoch,
-            args=ocp.args.Composite(
-                **{k: ocp.args.StandardSave(v) for k, v in payload.items()}),
+            args=ocp.args.Composite(**args),
             metrics={k: float(v) for k, v in metrics.items()},
         )
         self._mgr.wait_until_finished()
@@ -49,10 +49,10 @@ class CheckpointManager:
         step = step if step is not None else self._mgr.best_step()
         if step is None:
             step = self._mgr.latest_step()
-        restored = self._mgr.restore(
-            step,
-            args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(state_template)))
+        args = {"state": ocp.args.StandardRestore(state_template)}
+        if "extra" in (self._mgr.item_metadata(step) or {}):
+            args["extra"] = ocp.args.JsonRestore()
+        restored = self._mgr.restore(step, args=ocp.args.Composite(**args))
         return step, restored["state"], dict(restored.get("extra") or {})
 
     def best_step(self) -> Optional[int]:
