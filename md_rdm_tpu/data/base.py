@@ -59,10 +59,16 @@ class BaseDataset:
 
 class ConcatDataset:
     """Shuffled mix of several datasets (dataloader.py:42-61), with a fixed
-    per-instance permutation of dataset membership."""
+    per-instance permutation of dataset membership.
+
+    Setting ``transform`` overrides the member datasets' preprocessing
+    (they are bypassed via get_raw) and applies the override instead -
+    the reference's transform-override feature (dataloader.py:49-58).
+    """
 
     def __init__(self, datasets: Sequence, seed: int = 0):
         self.datasets = list(datasets)
+        self.transform = None
         rng = np.random.default_rng(seed)
         self.indices = np.concatenate(
             [np.full(len(d), i) for i, d in enumerate(self.datasets)])
@@ -71,7 +77,11 @@ class ConcatDataset:
     def __getitem__(self, i: int) -> Sample:
         ds_idx = self.indices[i]
         item_index = int((self.indices[:i] == ds_idx).sum())
-        return self.datasets[ds_idx][item_index]
+        ds = self.datasets[ds_idx]
+        if self.transform is None:
+            return ds[item_index]
+        rgb, depth = ds.get_raw(item_index)
+        return self.transform(rgb, depth)
 
     def __len__(self) -> int:
         return sum(len(d) for d in self.datasets)

@@ -1,0 +1,48 @@
+"""CLI surface tests: flags parse, reference-compatible names preserved."""
+from md_rdm_tpu.cli.evaluate import build_parser as eval_parser
+from md_rdm_tpu.cli.train import build_parser as train_parser
+
+
+def test_train_flags_reference_surface():
+    p = train_parser()
+    args = p.parse_args([
+        "--seed", "42", "--precision", "16", "--dev", "--overfit",
+        "--min_epochs", "1", "--max_epochs", "3",
+        "--metrics", "delta1", "mse",
+        "--worker", "2", "--find_learning_rate", "--detect_anomaly",
+        "--learning_rate", "0.001", "--batch_size", "8",
+        "--nyu_path", "/data/nyu",
+    ])
+    assert args.seed == 42 and args.precision == 16
+    assert args.dev and args.overfit and args.detect_anomaly
+    assert args.metrics == ["delta1", "mse"]
+    assert args.learning_rate == 0.001 and args.batch_size == 8
+    assert args.nyu_path == "/data/nyu"
+
+
+def test_train_flag_defaults_match_reference():
+    args = train_parser().parse_args([])
+    assert args.precision == 16          # train.py:11
+    assert args.learning_rate == 1e-4    # train.py:22
+    assert args.batch_size == 4          # train.py:23
+    assert args.worker == 6              # train.py:18
+    assert args.metrics == ["delta1", "delta2", "delta3", "mse", "mae",
+                            "log10", "rmse"]     # train.py:17
+    assert args.min_epochs == 1 and args.max_epochs == 1
+
+
+def test_gpus_alias():
+    args = train_parser().parse_args(["--gpus", "2"])
+    assert args.devices == 2
+
+
+def test_decoder_selection():
+    args = train_parser().parse_args(["--decoders", "1", "6", "7", "8", "9"])
+    assert args.decoders == [1, 6, 7, 8, 9]
+
+
+def test_eval_flags():
+    args = eval_parser().parse_args(
+        ["--checkpoint", "ck", "--grid_out", "g.png", "--best_txt", "b.txt"])
+    assert args.checkpoint == "ck"
+    assert args.grid_out == "g.png" and args.best_txt == "b.txt"

@@ -1,0 +1,128 @@
+"""Extended benchmark matrix (bench.py stays the single-line driver bench).
+
+Measures on the default backend (TPU):
+  * forward throughput, live config (decoder 1), f32 vs bf16
+  * full train-step throughput (fwd+bwd+adamw), batch 16
+  * relative-decoder forward (config 1,6 - the ALS fusion tail)
+  * fused Pallas comparison+quantize vs the XLA path
+
+Usage: python tools/bench_suite.py [--iters 20] [--batch 16]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def timeit(fn, iters, *args):
+    import jax
+    jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--skip", nargs="*", default=[],
+                    choices=["fwd", "train", "relative", "pallas"])
+    args = ap.parse_args()
+
+    import os
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    cache = os.path.join(repo, ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.abspath(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    from md_rdm_tpu.core.config import Config, ModelConfig, TrainConfig
+    from md_rdm_tpu.models.rdm import DepthEstimationNet
+    from md_rdm_tpu.ops.decompose import recombination
+    from md_rdm_tpu.training.module import DepthTrainer
+    from md_rdm_tpu.training.optim import make_optimizer
+
+    b = args.batch
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((b, 226, 226, 3)), jnp.float32)
+    y = jnp.asarray(rng.random((b, 1, 226, 226)) * 9 + 0.5, jnp.float32)
+    results = {}
+
+    if "fwd" not in args.skip:
+        for dtype in ("bfloat16", "float32"):
+            model = DepthEstimationNet(
+                ModelConfig(decoder_ids=(1,), compute_dtype=dtype))
+            variables = model.init(jax.random.PRNGKey(0), x[:1], train=False)
+
+            @jax.jit
+            def fwd(v, x):
+                yhat, d, _ = model.apply(v, x, train=False)
+                return recombination(list(yhat)), d
+
+            dt = timeit(fwd, args.iters, variables, x)
+            results[f"forward_{dtype}_img_per_s"] = round(b / dt, 1)
+
+    if "train" not in args.skip:
+        cfg = Config(model=ModelConfig(decoder_ids=(1,),
+                                       compute_dtype="bfloat16"),
+                     train=TrainConfig(metrics=("delta1", "mse")))
+        module = DepthTrainer(cfg)
+        tx = make_optimizer(1e-4)
+        state = module.init(jax.random.PRNGKey(0), tx, x[:1])
+        step = jax.jit(lambda s, xx, yy: module.train_step(s, tx, xx, yy),
+                       donate_argnums=(0,))
+        state, _ = step(state, x, y)      # warmup + donate-compatible
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            state, logs = step(state, x, y)
+        jax.block_until_ready(state.params)
+        dt = (time.perf_counter() - t0) / args.iters
+        results["train_step_bf16_img_per_s"] = round(b / dt, 1)
+        results["train_step_ms"] = round(dt * 1e3, 2)
+
+    if "relative" not in args.skip:
+        model = DepthEstimationNet(
+            ModelConfig(decoder_ids=(1, 6), compute_dtype="bfloat16"))
+        variables = model.init(jax.random.PRNGKey(0), x[:1], train=False)
+
+        @jax.jit
+        def fwd_rel(v, x):
+            yhat, d, _ = model.apply(v, x, train=False)
+            return recombination(list(yhat))
+
+        dt = timeit(fwd_rel, args.iters, variables, x)
+        results["forward_rel_d1d6_img_per_s"] = round(b / dt, 1)
+
+    if "pallas" not in args.skip:
+        from md_rdm_tpu.kernels.lloyd import fused_comparison_quantize
+        from md_rdm_tpu.ops.comparison import comparison_cross_scale
+        from md_rdm_tpu.ops.quantize import lloyd_quantize
+
+        dn = jnp.asarray(rng.uniform(0.5, 2.0, (64, 1, 16, 16)), jnp.float32)
+        dn1 = jnp.asarray(rng.uniform(0.5, 2.0, (64, 1, 8, 8)), jnp.float32)
+        xla = jax.jit(
+            lambda a, c: lloyd_quantize(comparison_cross_scale(a, c), 16))
+        dt_x = timeit(xla, args.iters * 5, dn, dn1)
+        dt_p = timeit(lambda a, c: fused_comparison_quantize(a, c, 16),
+                      args.iters * 5, dn, dn1)
+        results["lloyd_xla_us"] = round(dt_x * 1e6, 1)
+        results["lloyd_pallas_us"] = round(dt_p * 1e6, 1)
+
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()
