@@ -81,8 +81,7 @@ def main(argv=None):
     x0, _ = ds[0]
     sample = jnp.asarray(np.asarray(x0, np.float32)[None])
     state = module.init(jax.random.PRNGKey(0), tx, sample)
-    mgr = CheckpointManager(args.checkpoint, monitor=config.train.monitor
-                            if hasattr(config.train, "monitor") else "delta1")
+    mgr = CheckpointManager(args.checkpoint, monitor=config.train.monitor)
     step, state, _ = mgr.restore(jax.device_get(state))
     print(f"restored checkpoint step {step}")
 

@@ -99,6 +99,13 @@ def make_datasets(args):
         train_ds = Structured3DDataset(args.data_path, split="train")
         val_ds = Structured3DDataset(args.data_path, split="val")
 
+    if args.augment == "device":
+        # host does decode + fixed-size standardization only; the random
+        # spatial/color recipe runs inside the compiled train step
+        from md_rdm_tpu.data.raw import RawResizeDataset
+        hw = (250, 333) if args.dataset in ("nyu", "synthetic") else (250, 444)
+        train_ds = RawResizeDataset(train_ds, raw_hw=hw)
+
     train_loader = DataLoader(train_ds, args.batch_size, shuffle=True,
                               num_workers=args.worker, drop_last=True)
     val_loader = DataLoader(val_ds, 1, shuffle=False, num_workers=1)

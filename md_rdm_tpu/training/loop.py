@@ -62,7 +62,14 @@ class Trainer:
         self._train_step = jax.jit(
             lambda state, x, y: self.module.train_step(state, self.tx, x, y),
             donate_argnums=(0,))
+        self._train_step_aug = jax.jit(
+            lambda state, x, y, key: self.module.train_step_device_aug(
+                state, self.tx, x, y, key),
+            donate_argnums=(0,))
         self._eval_step = jax.jit(self.module.eval_step)
+        self._device_augment = config.data.augment_backend == "device"
+        self._aug_key = jax.random.PRNGKey(
+            (config.train.seed or 0) ^ 0x5EED)
 
     # ------------------------------------------------------------- state ---
     def init_state(self, sample_x: np.ndarray,
@@ -104,7 +111,11 @@ class Trainer:
                 x, y = fixed_batch
             xd, yd = self._put(x, y)
             t0 = time.perf_counter()
-            state, logs = self._train_step(state, xd, yd)
+            if self._device_augment:
+                self._aug_key, sub = jax.random.split(self._aug_key)
+                state, logs = self._train_step_aug(state, xd, yd, sub)
+            else:
+                state, logs = self._train_step(state, xd, yd)
             logs = jax.device_get(logs)
             step_times.append(time.perf_counter() - t0)
             acc.update({k: logs[k] for k in acc.names})

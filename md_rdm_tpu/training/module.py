@@ -149,6 +149,22 @@ class DepthTrainer:
                                     cfg.train.metrics))
         return new_state, logs
 
+    def train_step_device_aug(self, state: TrainState,
+                              tx: optax.GradientTransformation,
+                              x_raw: jnp.ndarray, y_raw: jnp.ndarray,
+                              key: jax.Array
+                              ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """Train step with on-device augmentation fused into the same
+        compiled graph (BASELINE north star): x_raw/y_raw are fixed-size
+        pre-crop batches; the spatial recipe + color jitter run on device
+        before the forward pass.
+        """
+        from md_rdm_tpu.data.augment import augment_batch
+
+        size = self.config.model.image_size
+        x, y = augment_batch(key, x_raw, y_raw, out_hw=(size, size))
+        return self.train_step(state, tx, x, y)
+
     def eval_step(self, state: TrainState, x: jnp.ndarray, y: jnp.ndarray
                   ) -> Dict[str, jnp.ndarray]:
         """Validation step (module.py:99-117): metrics only."""
