@@ -6,6 +6,12 @@ default backend (the real TPU chip), batch 16, and reports throughput vs
 the measured PyTorch-CPU baseline (tools/baseline_torch.py on this image:
 0.248 images/sec at batch 16, single CPU core, fusion tail included).
 
+Measured round 1 (tools/bench_suite.py, TPU v5e single chip, batch 16):
+forward f32 20,698 img/s; forward bf16 17,010 img/s; fused train step
+(fwd+bwd+AdamW) 487 img/s; d1+d6 relative-tail forward 17,625 img/s.
+float32 is the faster forward config on this model (bf16's (16,128) tile
+constraint hurts the heavily-concatenated DenseNet), so the bench runs f32.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
@@ -40,7 +46,7 @@ def main():
     from md_rdm_tpu.ops.decompose import recombination
 
     model = DepthEstimationNet(
-        ModelConfig(decoder_ids=(1,), compute_dtype="bfloat16"))
+        ModelConfig(decoder_ids=(1,), compute_dtype="float32"))
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((BATCH, 226, 226, 3)), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x[:1], train=False)

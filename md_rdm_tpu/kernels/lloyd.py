@@ -32,14 +32,14 @@ from md_rdm_tpu.ops.quantize import quant_tables
 
 
 def _kernel(dn_ref, dn1_ref, mask_ref, out_ref, *, q, inv0, dinv):
-    dn = dn_ref[0, :]                        # (P,)
-    inv_prev = pl.reciprocal(dn1_ref[0, :], approx=False)   # (Q,)
+    dn = dn_ref[0, 0, :]                     # (P,)
+    inv_prev = pl.reciprocal(dn1_ref[0, 0, :], approx=False)   # (Q,)
     ratio = dn[:, None] * jnp.where(mask_ref[:, :] != 0,
                                     inv_prev[None, :], 1.0)
     acc = jnp.full(ratio.shape, inv0, jnp.float32)
     for i in range(q.shape[0]):              # 40 unrolled compare+FMA
         acc += jnp.where(ratio >= q[i], dinv[i], 0.0)
-    out_ref[:, :] = acc
+    out_ref[0, :, :] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("size",))
@@ -62,20 +62,23 @@ def fused_comparison_quantize(dn: jnp.ndarray, dn_1: jnp.ndarray,
         _kernel, q=np.asarray(q, np.float32), inv0=float(inv64[0]),
         dinv=np.asarray(dinv, np.float32))
 
+    # Mosaic requires the last two block dims to be tile-divisible or span
+    # the full array; per-batch rows are carried in a leading grid axis
+    # with singleton middle dims spanning fully.
     out = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, hw), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, hw), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hw4), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, hw4), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((hw, hw4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((hw, hw4), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, hw, hw4), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * hw, hw4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, hw, hw4), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(dn.reshape(b, hw), dn_1.reshape(b, hw4), jnp.asarray(mask))
-    return jax.lax.stop_gradient(out.reshape(b, hw, hw4))
+    )(dn.reshape(b, 1, hw), dn_1.reshape(b, 1, hw4), jnp.asarray(mask))
+    return jax.lax.stop_gradient(out)

@@ -61,6 +61,10 @@ def main():
     y = jnp.asarray(rng.random((b, 1, 226, 226)) * 9 + 0.5, jnp.float32)
     results = {}
 
+    def record(name, value):
+        results[name] = value
+        print(f"{name}: {value}", flush=True)
+
     if "fwd" not in args.skip:
         for dtype in ("bfloat16", "float32"):
             model = DepthEstimationNet(
@@ -73,7 +77,7 @@ def main():
                 return recombination(list(yhat)), d
 
             dt = timeit(fwd, args.iters, variables, x)
-            results[f"forward_{dtype}_img_per_s"] = round(b / dt, 1)
+            record(f"forward_{dtype}_img_per_s", round(b / dt, 1))
 
     if "train" not in args.skip:
         cfg = Config(model=ModelConfig(decoder_ids=(1,),
@@ -90,8 +94,8 @@ def main():
             state, logs = step(state, x, y)
         jax.block_until_ready(state.params)
         dt = (time.perf_counter() - t0) / args.iters
-        results["train_step_bf16_img_per_s"] = round(b / dt, 1)
-        results["train_step_ms"] = round(dt * 1e3, 2)
+        record("train_step_bf16_img_per_s", round(b / dt, 1))
+        record("train_step_ms", round(dt * 1e3, 2))
 
     if "relative" not in args.skip:
         model = DepthEstimationNet(
@@ -104,7 +108,7 @@ def main():
             return recombination(list(yhat))
 
         dt = timeit(fwd_rel, args.iters, variables, x)
-        results["forward_rel_d1d6_img_per_s"] = round(b / dt, 1)
+        record("forward_rel_d1d6_img_per_s", round(b / dt, 1))
 
     if "pallas" not in args.skip:
         from md_rdm_tpu.kernels.lloyd import fused_comparison_quantize
@@ -118,8 +122,8 @@ def main():
         dt_x = timeit(xla, args.iters * 5, dn, dn1)
         dt_p = timeit(lambda a, c: fused_comparison_quantize(a, c, 16),
                       args.iters * 5, dn, dn1)
-        results["lloyd_xla_us"] = round(dt_x * 1e6, 1)
-        results["lloyd_pallas_us"] = round(dt_p * 1e6, 1)
+        record("lloyd_xla_us", round(dt_x * 1e6, 1))
+        record("lloyd_pallas_us", round(dt_p * 1e6, 1))
 
     print(json.dumps(results, indent=2))
 
