@@ -6,11 +6,12 @@ default backend (the real TPU chip), batch 16, and reports throughput vs
 the measured PyTorch-CPU baseline (tools/baseline_torch.py on this image:
 0.248 images/sec at batch 16, single CPU core, fusion tail included).
 
-Measured round 1 (tools/bench_suite.py, TPU v5e single chip, batch 16):
-forward f32 20,698 img/s; forward bf16 17,010 img/s; fused train step
-(fwd+bwd+AdamW) 487 img/s; d1+d6 relative-tail forward 17,625 img/s.
-float32 is the faster forward config on this model (bf16's (16,128) tile
-constraint hurts the heavily-concatenated DenseNet), so the bench runs f32.
+Measured round 1 (TPU v5e single chip, batch 16, uncontended):
+forward f32 20,698 img/s; forward bf16 17,010 img/s; full train step
+(fwd+bwd+AdamW) f32 6.6 ms = 2,424 img/s, bf16 12.96 ms; d1+d6
+relative-tail forward 17,625 img/s.  float32 beats bfloat16 throughout on
+this model (the (16,128) bf16 tile constraint penalizes the heavily
+concatenated DenseNet), so f32 is the default compute dtype.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
