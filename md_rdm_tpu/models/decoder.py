@@ -86,12 +86,19 @@ def relative_map_from_features(d: jnp.ndarray, size: int,
 
 
 class Decoder(nn.Module):
-    """One decoder branch operating on NHWC encoder features."""
+    """One decoder branch operating on NHWC encoder features.
+
+    ``relative_tail=False`` returns the raw 1-channel NCHW map for relative
+    decoders instead of running comparison+ALS inside - the model then runs
+    a single *merged* grouped-ALS over all relative decoders
+    (ops/als.py:als_factorize_grouped).
+    """
 
     decoder_id: int
     ordinal_channels: int = 180
     als_iters_quadratic: int = 30
     als_iters_rect: int = 100
+    relative_tail: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -106,6 +113,8 @@ class Decoder(nn.Module):
         if did > 5:
             x = nn.Conv(1, (1, 1), dtype=self.dtype, name="conv1")(x)
             d = jnp.transpose(x, (0, 3, 1, 2)).astype(jnp.float32)  # NCHW
+            if not self.relative_tail:
+                return d
             return relative_map_from_features(
                 d, size, self.als_iters_quadratic, self.als_iters_rect)
 
@@ -114,3 +123,18 @@ class Decoder(nn.Module):
                         name="conv2")(x)
         # ids 2..5: no head conv (faithful; ord_num = planes/2)
         return dorn_decode(x)
+
+
+def build_cross_scale_sparse(d: jnp.ndarray, size: int):
+    """Quantized cross-scale sparse matrices for a relative decoder map.
+
+    Returns (sparse (B*P, 256, 64), num_pages P) for size >= 16.
+    """
+    dn_1 = resize_bicubic(d, size // 2)
+    if size == 16:
+        return lloyd_quantize(comparison_cross_scale(d, dn_1), size=16), 1
+    dn_pages, dn1_pages = split_matrix(d, dn_1)
+    b, p = dn_pages.shape[:2]
+    sparse = comparison_cross_scale(
+        dn_pages.reshape(b * p, 1, 16, 16), dn1_pages.reshape(b * p, 1, 8, 8))
+    return lloyd_quantize(sparse, size=size), p

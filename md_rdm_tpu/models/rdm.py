@@ -23,11 +23,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from md_rdm_tpu.core.config import ModelConfig, decomposition_depth
-from md_rdm_tpu.models.decoder import Decoder
+from md_rdm_tpu.core.config import DECODER_SIZES, ModelConfig, decomposition_depth
+from md_rdm_tpu.models.decoder import Decoder, build_cross_scale_sparse
 from md_rdm_tpu.models.densenet import Encoder
+from md_rdm_tpu.ops.als import als_factorize_grouped
 from md_rdm_tpu.ops.decompose import decompose_depth_map, fine_detail_matrices, make_pred
 from md_rdm_tpu.ops.geometry import normalize_gm
+from md_rdm_tpu.ops.paging import merge_pages
 
 
 class Weights(nn.Module):
@@ -67,22 +69,60 @@ class DepthEstimationNet(nn.Module):
         if cfg.freeze_encoder:
             feats = jax.lax.stop_gradient(feats)
 
-        rows = []
+        # single grouped ALS across all cross-scale relative decoders
+        # (>= 16px) cuts the sequential iteration chains to one
+        merge_rect = len([d for d in cfg.relative_ids
+                          if DECODER_SIZES[d] >= 16]) > 1
+
+        rows_by_id = {}
+        rel_maps = {}
+        rect_sparse, rect_groups, rect_meta = [], [], []
         ord_depth: Optional[jnp.ndarray] = None
         ord_probs: Optional[jnp.ndarray] = None
         for did in cfg.decoder_ids:
+            size = DECODER_SIZES[did]
+            run_tail_inline = did <= 5 or size == 8 or not merge_rect
             out = Decoder(did, ordinal_channels=cfg.ordinal_channels,
                           als_iters_quadratic=cfg.als_iters_quadratic,
                           als_iters_rect=cfg.als_iters_rect,
+                          relative_tail=run_tail_inline,
                           dtype=dtype, name=f"d_{did}")(feats, train=train)
-            n = decomposition_depth(did)
             if did <= 5:
                 depth, probs = out
                 if ord_depth is None:          # decoder 1 feeds the ord loss
                     ord_depth, ord_probs = depth, probs
-                rows.append(decompose_depth_map(normalize_gm(depth), n))
+                rel_maps[did] = normalize_gm(depth)
+            elif run_tail_inline:
+                rel_maps[did] = out
             else:
-                rows.append(decompose_depth_map(out, n, relative_map=True))
+                sparse, pages = build_cross_scale_sparse(out, size)
+                rect_sparse.append(sparse)
+                rect_groups.append(
+                    jnp.full((sparse.shape[0],), len(rect_meta), jnp.int32))
+                rect_meta.append((did, out.shape[0], pages, size))
+
+        if rect_meta:
+            filled = als_factorize_grouped(
+                jnp.concatenate(rect_sparse, axis=0), 16,
+                cfg.als_iters_rect, jnp.concatenate(rect_groups),
+                len(rect_meta))
+            offset = 0
+            for did, b, pages, size in rect_meta:
+                cnt = b * pages
+                tiles = filled[offset:offset + cnt]
+                offset += cnt
+                if pages == 1:
+                    rel_maps[did] = tiles
+                else:
+                    rel_maps[did] = merge_pages(
+                        tiles.reshape(b, pages, 1, 16, 16),
+                        grid=size // 16)
+
+        rows = []
+        for did in cfg.decoder_ids:
+            n = decomposition_depth(did)
+            rows.append(decompose_depth_map(
+                rel_maps[did], n, relative_map=did > 5))
 
         mats = fine_detail_matrices(rows)
         yhat = Weights(cfg.vector_sizes, name="weight_layer")(mats)

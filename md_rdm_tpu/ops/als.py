@@ -89,6 +89,57 @@ def als_factorize(sparse: jnp.ndarray, out_size: int,
     return best_p.reshape(b, 1, out_size, out_size)
 
 
+def als_factorize_grouped(sparse: jnp.ndarray, out_size: int,
+                          num_iters: int,
+                          group_ids: jnp.ndarray,
+                          num_groups: int) -> jnp.ndarray:
+    """Grouped batched ALS: one fused iteration loop over matrices from
+    several decoders, with the best-iterate RMSE selection pooled per
+    *group* exactly as each decoder's standalone call would pool over its
+    own batch (computations.py:55-74).
+
+    Motivation: the optimal decoder set (1,6,7,8,9) otherwise runs three
+    sequential 100-iteration ALS loops (d7, d8 pages, d9 pages) - a
+    latency-bound chain.  Stacking them into one call cuts the sequential
+    depth 3x while per-group RMSE keeps parity bit-for-bit in selection
+    semantics.
+
+    sparse: (N, H, W) with N = sum of per-decoder batch*pages;
+    group_ids: (N,) int32 segment id per matrix; num_groups static.
+    """
+    n, h, w = sparse.shape
+    sparse = sparse.astype(jnp.float32)
+    p = jnp.ones((n, h, 1), jnp.float32)
+    q = jnp.ones((n, w, 1), jnp.float32)
+    sparse_r = sparse.reshape(n, w, h)
+    counts = jax.ops.segment_sum(jnp.ones((n,)), group_ids,
+                                 num_segments=num_groups)
+    denom = counts * h * w
+
+    def group_rmse(pred):
+        sq = jnp.sum((pred - sparse) ** 2, axis=(1, 2))
+        return jnp.sqrt(jax.ops.segment_sum(sq, group_ids,
+                                            num_segments=num_groups) / denom)
+
+    best_r0 = group_rmse(jnp.matmul(p, q.reshape(n, 1, w)))
+
+    def body(_, carry):
+        p, q, best_p, best_r = carry
+        p_new = _als_step(sparse, q)
+        r = group_rmse(jnp.matmul(p_new, q.reshape(n, 1, w)))
+        take = r < best_r                      # (G,)
+        take_rows = take[group_ids][:, None, None]
+        best_p = jnp.where(take_rows, p_new, best_p)
+        best_r = jnp.where(take, r, best_r)
+        q_new = _als_step(sparse_r, p_new)
+        return p_new, q_new, best_p, best_r
+
+    _, _, best_p, _ = jax.lax.fori_loop(
+        0, num_iters, body, (p, q, p, best_r0))
+    best_p = best_p / _quick_gm_pow(best_p, h)
+    return best_p.reshape(n, 1, out_size, out_size)
+
+
 def quadratic_als(sparse: jnp.ndarray, n: int = 3,
                   num_iters: int = 30) -> jnp.ndarray:
     """Square-matrix ALS (computations.py:38-85): (B, 4^n, 4^n) -> 2^n maps."""
