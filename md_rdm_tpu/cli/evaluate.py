@@ -33,11 +33,16 @@ def build_parser():
     p.add_argument("--best_txt", type=str, default=None,
                    help="Write/update a best.txt with the results")
     p.add_argument("--decoders", type=int, nargs="+", default=[1])
+    p.add_argument("--platform", type=str, default=None,
+                   choices=("cpu", "tpu"), help="Force jax backend")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    from md_rdm_tpu.core.platform import select_platform
+    select_platform(args.platform)
 
     import jax
     import jax.numpy as jnp

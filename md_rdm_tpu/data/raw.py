@@ -12,12 +12,29 @@ from typing import Tuple
 
 import numpy as np
 
+from md_rdm_tpu.data import native
 from md_rdm_tpu.data import transforms as T
+
+
+def _short_side_size(sh: int, sw: int, short: int) -> Tuple[int, int]:
+    if sh <= sw:
+        return short, max(1, round(sw * short / sh))
+    return max(1, round(sh * short / sw)), short
+
+
+def _center_crop(img: np.ndarray, th: int, tw: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    i = max((h - th) // 2, 0)
+    j = max((w - tw) // 2, 0)
+    return img[i:i + th, j:j + tw]
 
 
 class RawResizeDataset:
     """Wraps any dataset exposing ``get_raw`` -> (rgb HWC uint8/float,
-    depth HW float)."""
+    depth HW float).  Standardization runs through the native C++ kernels
+    (native/host_ops.cc) when built, releasing the GIL under the threaded
+    DataLoader; otherwise a numpy path with identical sampling.
+    """
 
     def __init__(self, dataset, raw_hw: Tuple[int, int] = (250, 333)):
         self.dataset = dataset
@@ -32,9 +49,10 @@ class RawResizeDataset:
         if rgb.dtype != np.uint8:
             rgb = np.clip(rgb * (255.0 if rgb.max() <= 1.0 else 1.0),
                           0, 255).astype(np.uint8)
-        short = min(self.raw_hw)
-        rgb = T.CenterCrop(self.raw_hw)(T.ResizeTo(short)(rgb))
-        depth = T.CenterCrop(self.raw_hw)(
-            T.ResizeTo(short)(np.asarray(depth, np.float32)))
-        return (np.asarray(rgb, np.float32) / 255.0,
-                np.asarray(depth, np.float32))
+        depth = np.asarray(depth, np.float32)
+        th, tw = self.raw_hw
+        rh, rw = _short_side_size(rgb.shape[0], rgb.shape[1], min(th, tw))
+        rgb_f = _center_crop(native.resize_u8_to_f32(rgb, rh, rw), th, tw)
+        depth_f = _center_crop(native.resize_f32(depth, rh, rw), th, tw)
+        return (np.ascontiguousarray(rgb_f),
+                np.ascontiguousarray(depth_f))

@@ -30,14 +30,24 @@ def colored_depthmap(depth: np.ndarray, d_min: Optional[float] = None,
     return 255.0 * _jet(rel)
 
 
+def _nearest_resize(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    yi = (np.arange(h) * img.shape[0] // h).clip(0, img.shape[0] - 1)
+    xi = (np.arange(w) * img.shape[1] // w).clip(0, img.shape[1] - 1)
+    return img[yi][:, xi]
+
+
 def merge_into_row(rgb: np.ndarray, depth_target: np.ndarray,
                    depth_pred: np.ndarray) -> np.ndarray:
     """[RGB | GT | prediction] strip with a shared color scale.
 
-    rgb: (H, W, 3) in [0,1]; depths: (H, W).
+    rgb: (H, W, 3) in [0,1]; depths: (H', W') - the rgb is resized to the
+    depth resolution when they differ (the model predicts at 128x128 from
+    226x226 inputs).
     """
     t = np.squeeze(np.asarray(depth_target))
     p = np.squeeze(np.asarray(depth_pred))
+    if rgb.shape[:2] != t.shape:
+        rgb = _nearest_resize(np.asarray(rgb), *t.shape)
     d_min = min(t.min(), p.min())
     d_max = max(t.max(), p.max())
     row = [255.0 * np.asarray(rgb),
