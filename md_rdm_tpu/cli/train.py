@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import argparse
 import random
-import sys
 
 import numpy as np
 
@@ -118,7 +117,6 @@ def find_learning_rate(trainer, state, loader, lo=1e-7, hi=1.0,
     """LR range test (the tuner.lr_find equivalent): ramp LR exponentially,
     track loss, suggest the LR at the steepest loss descent."""
     import jax
-    import jax.numpy as jnp
     from md_rdm_tpu.training.optim import set_lr
 
     lrs = np.exp(np.linspace(np.log(lo), np.log(hi), num_steps))

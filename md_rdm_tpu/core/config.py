@@ -9,7 +9,7 @@ be threaded through jit'd code as static configuration.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 # Decoder output resolution by id (reference RDM_Net.py:29-39):
 #   id 1, 6  -> 8x8      id 2, 7  -> 16x16     id 3, 8  -> 32x32

@@ -20,10 +20,9 @@ from __future__ import annotations
 import tarfile
 import urllib.request
 from pathlib import Path
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
-from PIL import Image
 
 from md_rdm_tpu.data import transforms as T
 from md_rdm_tpu.data.base import BaseDataset

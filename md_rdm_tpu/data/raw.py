@@ -13,7 +13,6 @@ from typing import Tuple
 import numpy as np
 
 from md_rdm_tpu.data import native
-from md_rdm_tpu.data import transforms as T
 
 
 def _short_side_size(sh: int, sw: int, short: int) -> Tuple[int, int]:

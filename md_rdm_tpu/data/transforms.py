@@ -19,7 +19,7 @@ Arrays are HWC (or HW for depth) float/uint8 numpy throughout.
 """
 from __future__ import annotations
 
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Sequence
 
 import numpy as np
 from PIL import Image, ImageEnhance

@@ -23,14 +23,14 @@ fori_loop iterations).
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 from md_rdm_tpu.core.config import DECODER_SIZES
 from md_rdm_tpu.models.densenet import DenseBlock
-from md_rdm_tpu.models.wsm import WSMCascade, wsm_output_planes
+from md_rdm_tpu.models.wsm import WSMCascade
 from md_rdm_tpu.ops.als import alternating_least_squares, quadratic_als
 from md_rdm_tpu.ops.comparison import comparison_cross_scale, comparison_v1
 from md_rdm_tpu.ops.paging import merge_pages, split_matrix

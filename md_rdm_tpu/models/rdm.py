@@ -17,7 +17,7 @@ return signature.
 """
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -74,7 +74,6 @@ class DepthEstimationNet(nn.Module):
         merge_rect = len([d for d in cfg.relative_ids
                           if DECODER_SIZES[d] >= 16]) > 1
 
-        rows_by_id = {}
         rel_maps = {}
         rect_sparse, rect_groups, rect_meta = [], [], []
         ord_depth: Optional[jnp.ndarray] = None

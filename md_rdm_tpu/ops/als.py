@@ -27,8 +27,6 @@ Faithful quirks preserved:
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -20,7 +20,7 @@ reversed order the reference produces with ``[::-1]`` at call sites
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import jax.numpy as jnp
 

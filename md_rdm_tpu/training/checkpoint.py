@@ -7,7 +7,6 @@ monitor='val_delta1', mode='max', filename '{epoch}-{val_delta1}')
 """
 from __future__ import annotations
 
-import json
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 

@@ -21,12 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from md_rdm_tpu.core.config import Config
-from md_rdm_tpu.core.mesh import (
-    batch_sharding,
-    create_mesh,
-    replicate,
-    shard_batch,
-)
+from md_rdm_tpu.core.mesh import batch_sharding, create_mesh, replicate
 from md_rdm_tpu.metrics import MetricAccumulator
 from md_rdm_tpu.training.checkpoint import CheckpointManager
 from md_rdm_tpu.training.module import DepthTrainer, TrainState

@@ -20,14 +20,14 @@ Faithful loss assembly (module.py:64-97):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
 
-from md_rdm_tpu.core.config import Config, ModelConfig, SIDConfig
+from md_rdm_tpu.core.config import Config, SIDConfig
 from md_rdm_tpu.losses import mse_loss, ordinal_loss
 from md_rdm_tpu.metrics import compute_metrics
 from md_rdm_tpu.models.rdm import DepthEstimationNet

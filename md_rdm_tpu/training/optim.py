@@ -11,8 +11,6 @@ factor 0.1) rewrites it between epochs without recompiling the step.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
-
 import optax
 
 
