@@ -30,7 +30,8 @@ class Predictor:
     def __init__(self, variables, config: Optional[ModelConfig] = None):
         self.config = config or ModelConfig()
         self.model = DepthEstimationNet(self.config)
-        self.variables = variables
+        # pin to device: avoids per-call parameter re-streaming
+        self.variables = jax.device_put(variables, jax.devices()[0])
 
         @jax.jit
         def _predict(variables, x):

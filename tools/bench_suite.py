@@ -69,7 +69,7 @@ def main():
         for dtype in ("bfloat16", "float32"):
             model = DepthEstimationNet(
                 ModelConfig(decoder_ids=(1,), compute_dtype=dtype))
-            variables = model.init(jax.random.PRNGKey(0), x[:1], train=False)
+            variables = jax.device_put(model.init(jax.random.PRNGKey(0), x[:1], train=False), jax.devices()[0])
 
             @jax.jit
             def fwd(v, x):
@@ -100,7 +100,7 @@ def main():
     if "relative" not in args.skip:
         model = DepthEstimationNet(
             ModelConfig(decoder_ids=(1, 6), compute_dtype="bfloat16"))
-        variables = model.init(jax.random.PRNGKey(0), x[:1], train=False)
+        variables = jax.device_put(model.init(jax.random.PRNGKey(0), x[:1], train=False), jax.devices()[0])
 
         @jax.jit
         def fwd_rel(v, x):
