@@ -15,10 +15,10 @@ import numpy as np
 from md_rdm_tpu.data import native
 
 
-def _short_side_size(sh: int, sw: int, short: int) -> Tuple[int, int]:
-    if sh <= sw:
-        return short, max(1, round(sw * short / sh))
-    return max(1, round(sh * short / sw)), short
+def _fill_size(sh: int, sw: int, th: int, tw: int) -> Tuple[int, int]:
+    """Smallest aspect-preserving size covering (th, tw) in both dims."""
+    scale = max(th / sh, tw / sw)
+    return max(th, round(sh * scale)), max(tw, round(sw * scale))
 
 
 def _center_crop(img: np.ndarray, th: int, tw: int) -> np.ndarray:
@@ -50,7 +50,7 @@ class RawResizeDataset:
                           0, 255).astype(np.uint8)
         depth = np.asarray(depth, np.float32)
         th, tw = self.raw_hw
-        rh, rw = _short_side_size(rgb.shape[0], rgb.shape[1], min(th, tw))
+        rh, rw = _fill_size(rgb.shape[0], rgb.shape[1], th, tw)
         rgb_f = _center_crop(native.resize_u8_to_f32(rgb, rh, rw), th, tw)
         depth_f = _center_crop(native.resize_f32(depth, rh, rw), th, tw)
         return (np.ascontiguousarray(rgb_f),

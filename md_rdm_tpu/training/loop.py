@@ -54,6 +54,14 @@ class Trainer:
         if config.train.debug_nans:
             jax.config.update("jax_debug_nans", True)
 
+        # run-config dump with device info (reference train.py:65-70 yaml)
+        import dataclasses
+        import json
+        devinfo = [f"{d.platform}:{d.device_kind}" for d in jax.devices()]
+        (self.workdir / "config.json").write_text(json.dumps(
+            {"config": dataclasses.asdict(config), "devices": devinfo,
+             "mesh": str(self.mesh)}, indent=2, default=str))
+
         self._train_step = jax.jit(
             lambda state, x, y: self.module.train_step(state, self.tx, x, y),
             donate_argnums=(0,))
@@ -123,6 +131,8 @@ class Trainer:
         avgs = acc.averages()
         avgs["step_time_s"] = float(np.mean(step_times[1:])) \
             if len(step_times) > 1 else float(step_times[0])
+        avgs["images_per_sec"] = (
+            self.config.data.batch_size / max(avgs["step_time_s"], 1e-9))
         return state, avgs
 
     def eval_epoch(self, state: TrainState, loader: Iterable,
