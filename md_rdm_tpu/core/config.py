@@ -55,6 +55,10 @@ class ModelConfig:
     # Compute dtype for the conv backbone ("bfloat16" or "float32"); the
     # fusion tail always runs float32.  Mirrors AMP O2 (train.py:57-58).
     compute_dtype: str = "float32"
+    # Rematerialize dense blocks in the backward pass (jax.checkpoint):
+    # trades ~20% step time for large activation-memory savings, enabling
+    # bigger per-chip batches.
+    remat: bool = False
     # ALS iteration budget: 30 for the square 8x8 path, 100 for cross-scale
     # (RDM_Net.py:364,378,392; computations.py:38,95).
     als_iters_quadratic: int = 30

@@ -49,19 +49,27 @@ class DenseLayer(nn.Module):
 
 
 class DenseBlock(nn.Module):
-    """torchvision _DenseBlock: concat-growth over num_layers layers."""
+    """torchvision _DenseBlock: concat-growth over num_layers layers.
+
+    ``remat=True`` rematerializes each layer in the backward pass
+    (the role of torchvision's memory_efficient flag, which the reference
+    enables - RDM_Net.py:526-531 last ctor arg).
+    """
 
     num_layers: int
     bn_size: int
     growth_rate: int
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        layer_cls = (nn.remat(DenseLayer, static_argnums=(2,))
+                     if self.remat else DenseLayer)
         for i in range(self.num_layers):
-            new = DenseLayer(self.bn_size, self.growth_rate,
-                             dtype=self.dtype, name=f"denselayer{i + 1}")(
-                                 x, train=train)
+            new = layer_cls(self.bn_size, self.growth_rate,
+                            dtype=self.dtype, name=f"denselayer{i + 1}")(
+                                x, train)
             x = jnp.concatenate([x, new.astype(x.dtype)], axis=-1)
         return x
 
@@ -99,6 +107,7 @@ class Encoder(nn.Module):
     """
 
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -106,13 +115,16 @@ class Encoder(nn.Module):
         x = nn.Conv(96, (7, 7), strides=(2, 2), padding=3,
                     dtype=self.dtype, name="conv_e1")(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
-        x = DenseBlock(6, 57, 48, dtype=self.dtype, name="dense_e2")(x, train)
+        x = DenseBlock(6, 57, 48, dtype=self.dtype, remat=self.remat,
+                       name="dense_e2")(x, train)
         x = pad_br(x)
         x = Transition(192, dtype=self.dtype, name="trans_e2")(x, train)
-        x = DenseBlock(12, 29, 48, dtype=self.dtype, name="dense_e3")(x, train)
+        x = DenseBlock(12, 29, 48, dtype=self.dtype, remat=self.remat,
+                       name="dense_e3")(x, train)
         x = pad_br(x)
         x = Transition(384, dtype=self.dtype, name="trans_e3")(x, train)
-        x = DenseBlock(36, 15, 48, dtype=self.dtype, name="dense_e4")(x, train)
+        x = DenseBlock(36, 15, 48, dtype=self.dtype, remat=self.remat,
+                       name="dense_e4")(x, train)
         x = pad_br(x)
         x = Transition(1056, dtype=self.dtype, name="trans_e4")(x, train)
         return x

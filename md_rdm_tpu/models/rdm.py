@@ -65,7 +65,8 @@ class DepthEstimationNet(nn.Module):
     def __call__(self, x, train: bool = False):
         cfg = self.config
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        feats = Encoder(dtype=dtype, name="encoder")(x, train=train)
+        feats = Encoder(dtype=dtype, remat=cfg.remat,
+                        name="encoder")(x, train=train)
         if cfg.freeze_encoder:
             feats = jax.lax.stop_gradient(feats)
 

@@ -72,3 +72,26 @@ def test_run_directory_numbering(tmp_path):
     assert d1.endswith("run_1")
     resume = os.path.join(d0, "ckpt.bin")
     assert get_output_directory(str(tmp_path), "rd", resume=resume) == d0
+
+
+def test_dense_block_remat_gradients():
+    """remat path produces identical grads to the plain path."""
+    import flax.linen as nn
+    from md_rdm_tpu.models.densenet import DenseBlock
+
+    x = jnp.asarray(np.random.default_rng(3).random((2, 6, 6, 8)),
+                    jnp.float32)
+
+    def loss(remat):
+        blk = DenseBlock(2, 2, 4, remat=remat)
+        v = blk.init(jax.random.PRNGKey(0), x)
+        return jax.grad(
+            lambda p: jnp.sum(blk.apply({"params": p,
+                                         "batch_stats": v["batch_stats"]},
+                                        x) ** 2))(v["params"])
+
+    g0 = loss(False)
+    g1 = loss(True)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
