@@ -15,21 +15,57 @@ import optax
 
 
 def make_optimizer(learning_rate: float,
-                   weight_decay: float = 0.01) -> optax.GradientTransformation:
-    """AdamW with torch defaults (betas 0.9/0.999, eps 1e-8, wd 0.01)."""
-    return optax.inject_hyperparams(optax.adamw)(
+                   weight_decay: float = 0.01,
+                   fast_modules: tuple = (),
+                   fast_multiplier: float = 10.0
+                   ) -> optax.GradientTransformation:
+    """AdamW with torch defaults (betas 0.9/0.999, eps 1e-8, wd 0.01).
+
+    ``fast_modules``: top-level parameter-tree keys trained at
+    ``fast_multiplier``x the base LR - the legacy loop's per-param-group
+    1x/10x split (main.py:156-162).
+    """
+    base = optax.inject_hyperparams(optax.adamw)(
         learning_rate=learning_rate, b1=0.9, b2=0.999, eps=1e-8,
         weight_decay=weight_decay)
+    if not fast_modules:
+        return base
+
+    fast = optax.inject_hyperparams(optax.adamw)(
+        learning_rate=learning_rate * fast_multiplier, b1=0.9, b2=0.999,
+        eps=1e-8, weight_decay=weight_decay)
+
+    def label(params):
+        import jax
+        return {k: jax.tree_util.tree_map(
+            lambda _: "fast" if k in fast_modules else "base", v)
+            for k, v in params.items()}
+
+    return optax.multi_transform({"base": base, "fast": fast}, label)
+
+
+def _hyperparam_dicts(opt_state):
+    if hasattr(opt_state, "hyperparams"):
+        return [opt_state.hyperparams]
+    if hasattr(opt_state, "inner_states"):   # multi_transform (param groups)
+        return [s.inner_state.hyperparams
+                for s in opt_state.inner_states.values()]
+    raise ValueError("optimizer state has no injected hyperparams")
 
 
 def get_lr(opt_state) -> float:
-    return float(opt_state.hyperparams["learning_rate"])
+    """Base-group learning rate (the smallest across param groups)."""
+    return min(float(h["learning_rate"]) for h in _hyperparam_dicts(opt_state))
 
 
 def set_lr(opt_state, lr: float):
+    """Rescale all param groups, preserving their relative multipliers."""
     import jax.numpy as jnp
-    old = opt_state.hyperparams["learning_rate"]
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, old.dtype)
+    base = get_lr(opt_state)
+    factor = lr / base if base > 0 else 0.0
+    for h in _hyperparam_dicts(opt_state):
+        old = h["learning_rate"]
+        h["learning_rate"] = jnp.asarray(float(old) * factor, old.dtype)
     return opt_state
 
 
