@@ -90,11 +90,11 @@ class PlateauScheduler:
             self.best = float("-inf") if self.mode == "max" else float("inf")
 
     def _is_better(self, metric: float) -> bool:
+        # torch's rel-threshold formulas verbatim (lr_scheduler.py):
+        # max: a > best * (1 + threshold); min: a < best * (1 - threshold)
         if self.mode == "max":
-            return metric > self.best * (1.0 + self.threshold) \
-                if self.best >= 0 else metric > self.best * (1.0 - self.threshold)
-        return metric < self.best * (1.0 - self.threshold) \
-            if self.best >= 0 else metric < self.best * (1.0 + self.threshold)
+            return metric > self.best * (1.0 + self.threshold)
+        return metric < self.best * (1.0 - self.threshold)
 
     def step(self, metric: float, lr: float) -> float:
         """Feed one epoch's monitored value; returns the (possibly reduced)
