@@ -103,34 +103,52 @@ class Trainer:
 
     def train_epoch(self, state: TrainState, loader: Iterable,
                     epoch: int) -> Tuple[TrainState, Dict[str, float]]:
+        """One training epoch.
+
+        Step metrics stay as device arrays during the loop and are fetched
+        once at epoch end - a per-step ``device_get`` would force a host
+        sync every step and serialize the dispatch pipeline (especially
+        costly over the remote-TPU relay).  Periodic logging pays one sync
+        every ``log_every`` steps.
+        """
         cfg = self.config.train
         acc = MetricAccumulator(list(cfg.metrics) + ["loss"])
-        step_times = []
+        logs_hist = []
         fixed_batch = None
+        t_first_done = None
+        t_epoch0 = time.perf_counter()
+        num_steps = 0
         for i, (x, y) in enumerate(loader):
             if cfg.overfit:
                 if fixed_batch is None:
                     fixed_batch = (x, y)
                 x, y = fixed_batch
             xd, yd = self._put(x, y)
-            t0 = time.perf_counter()
             if self._device_augment:
                 self._aug_key, sub = jax.random.split(self._aug_key)
                 state, logs = self._train_step_aug(state, xd, yd, sub)
             else:
                 state, logs = self._train_step(state, xd, yd)
-            logs = jax.device_get(logs)
-            step_times.append(time.perf_counter() - t0)
-            acc.update({k: logs[k] for k in acc.names})
+            logs_hist.append(logs)
+            num_steps += 1
+            if i == 0:
+                jax.block_until_ready(logs)   # absorb compile time
+                t_first_done = time.perf_counter()
             if i % cfg.log_every == 0:
                 self.logger.log(int(jax.device_get(state.step)),
-                                {k: float(v) for k, v in logs.items()},
+                                {k: float(v) for k, v in
+                                 jax.device_get(logs).items()},
                                 prefix="train_")
             if cfg.dev and i >= 0:
                 break
+        jax.block_until_ready(state.params)
+        elapsed = time.perf_counter() - (t_first_done or t_epoch0)
+        for logs in jax.device_get(logs_hist):
+            acc.update({k: logs[k] for k in acc.names})
         avgs = acc.averages()
-        avgs["step_time_s"] = float(np.mean(step_times[1:])) \
-            if len(step_times) > 1 else float(step_times[0])
+        avgs["step_time_s"] = (elapsed / max(num_steps - 1, 1)
+                               if num_steps > 1
+                               else time.perf_counter() - t_epoch0)
         avgs["images_per_sec"] = (
             self.config.data.batch_size / max(avgs["step_time_s"], 1e-9))
         return state, avgs
@@ -139,12 +157,14 @@ class Trainer:
                    epoch: int) -> Dict[str, float]:
         cfg = self.config.train
         acc = MetricAccumulator(list(cfg.metrics))
+        logs_hist = []
         for i, (x, y) in enumerate(loader):
             xd, yd = self._put(x, y)
-            logs = jax.device_get(self._eval_step(state, xd, yd))
-            acc.update(logs)
+            logs_hist.append(self._eval_step(state, xd, yd))
             if cfg.dev and i >= 0:
                 break
+        for logs in jax.device_get(logs_hist):
+            acc.update(logs)
         return acc.averages()
 
     def fit(self, state: TrainState, train_loader: Iterable,
