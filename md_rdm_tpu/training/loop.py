@@ -62,14 +62,25 @@ class Trainer:
             {"config": dataclasses.asdict(config), "devices": devinfo,
              "mesh": str(self.mesh)}, indent=2, default=str))
 
+        # explicit shardings: replicated state in AND out, batch-sharded
+        # data - keeps the donated-state signature stable across steps (a
+        # sharding/layout change after step 0 would otherwise trigger a
+        # recompile + executable reload)
+        rep = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec())
+        bsh = batch_sharding(self.mesh)
         self._train_step = jax.jit(
             lambda state, x, y: self.module.train_step(state, self.tx, x, y),
-            donate_argnums=(0,))
+            donate_argnums=(0,),
+            in_shardings=(rep, bsh, bsh), out_shardings=(rep, rep))
         self._train_step_aug = jax.jit(
             lambda state, x, y, key: self.module.train_step_device_aug(
                 state, self.tx, x, y, key),
-            donate_argnums=(0,))
-        self._eval_step = jax.jit(self.module.eval_step)
+            donate_argnums=(0,),
+            in_shardings=(rep, bsh, bsh, rep), out_shardings=(rep, rep))
+        self._eval_step = jax.jit(self.module.eval_step,
+                                  in_shardings=(rep, bsh, bsh),
+                                  out_shardings=rep)
         self._device_augment = config.data.augment_backend == "device"
         self._aug_key = jax.random.PRNGKey(
             (config.train.seed or 0) ^ 0x5EED)
