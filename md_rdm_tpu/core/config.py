@@ -59,6 +59,11 @@ class ModelConfig:
     # trades ~20% step time for large activation-memory savings, enabling
     # bigger per-chip batches.
     remat: bool = False
+    # Differentiable DORN decode (sum of probs instead of count(P>0.5)) -
+    # the reference's commented alternative (RDM_Net.py:343).  Off by
+    # default: the faithful hard count blocks depth-loss gradients into
+    # the backbone (only the ordinal loss trains it).
+    soft_ordinal_decode: bool = False
     # ALS iteration budget: 30 for the square 8x8 path, 100 for cross-scale
     # (RDM_Net.py:364,378,392; computations.py:38,95).
     als_iters_quadratic: int = 30

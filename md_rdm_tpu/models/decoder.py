@@ -40,11 +40,17 @@ from md_rdm_tpu.ops.resize import resize_bicubic
 Dtype = Any
 
 
-def dorn_decode(logits: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def dorn_decode(logits: jnp.ndarray,
+                soft: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """DORN ordinal regression on NHWC logits (C = 2 * ord_num).
 
     Returns (decoded (B,1,H,W) float32 label counts, probs (B,ord_num,H,W))
     in NCHW to match the fusion tail's layout.
+
+    ``soft=True`` decodes as sum(P) instead of count(P > 0.5) - the
+    reference's commented-out alternative (RDM_Net.py:343).  The hard count
+    (default, faithful) has zero gradient, so only the ordinal loss trains
+    the backbone; the soft decode lets the depth losses reach it too.
     """
     b, h, w, c = logits.shape
     ord_num = c // 2
@@ -52,7 +58,10 @@ def dorn_decode(logits: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     a = x[..., 0::2]
     bb = x[..., 1::2]
     probs = nn.sigmoid(bb - a)                      # (B,H,W,ord_num)
-    decoded = jnp.sum(probs > 0.5, axis=-1).astype(jnp.float32)
+    if soft:
+        decoded = jnp.sum(probs, axis=-1)
+    else:
+        decoded = jnp.sum(probs > 0.5, axis=-1).astype(jnp.float32)
     probs = jnp.transpose(probs, (0, 3, 1, 2))      # NCHW
     return decoded[:, None, :, :], probs
 
@@ -99,6 +108,7 @@ class Decoder(nn.Module):
     als_iters_quadratic: int = 30
     als_iters_rect: int = 100
     relative_tail: bool = True
+    soft_ordinal_decode: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -122,7 +132,7 @@ class Decoder(nn.Module):
             x = nn.Conv(self.ordinal_channels, (1, 1), dtype=self.dtype,
                         name="conv2")(x)
         # ids 2..5: no head conv (faithful; ord_num = planes/2)
-        return dorn_decode(x)
+        return dorn_decode(x, soft=self.soft_ordinal_decode)
 
 
 def build_cross_scale_sparse(d: jnp.ndarray, size: int):

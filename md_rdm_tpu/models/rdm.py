@@ -86,6 +86,7 @@ class DepthEstimationNet(nn.Module):
                           als_iters_quadratic=cfg.als_iters_quadratic,
                           als_iters_rect=cfg.als_iters_rect,
                           relative_tail=run_tail_inline,
+                          soft_ordinal_decode=cfg.soft_ordinal_decode,
                           dtype=dtype, name=f"d_{did}")(feats, train=train)
             if did <= 5:
                 depth, probs = out

@@ -109,3 +109,19 @@ def test_relative_map_paged_path():
     out = relative_map_from_features(d, 32, als_iters_rect=30)
     assert out.shape == (2, 1, 32, 32)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dorn_soft_decode():
+    """soft decode = sum of probs (reference RDM_Net.py:343 alternative),
+    differentiable where the hard count is not."""
+    rng = np.random.default_rng(4)
+    logits = jnp.asarray(rng.standard_normal((1, 2, 2, 6)), jnp.float32)
+    hard, probs = dorn_decode(logits, soft=False)
+    soft, _ = dorn_decode(logits, soft=True)
+    np.testing.assert_allclose(np.asarray(soft)[0, 0],
+                               np.asarray(probs).sum(1)[0], rtol=1e-6)
+    # gradient flows through soft, not hard
+    g_soft = jax.grad(lambda l: jnp.sum(dorn_decode(l, soft=True)[0]))(logits)
+    g_hard = jax.grad(lambda l: jnp.sum(dorn_decode(l, soft=False)[0]))(logits)
+    assert float(jnp.abs(g_soft).sum()) > 0
+    assert float(jnp.abs(g_hard).sum()) == 0
