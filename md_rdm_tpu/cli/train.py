@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decoders", type=int, nargs="+", default=[1],
                    help="Decoder ids to instantiate (1-10)")
     p.add_argument("--augment", choices=("host", "device"), default="host")
+    p.add_argument("--remat", action="store_true",
+                   help="Rematerialize encoder dense blocks (less memory)")
+    p.add_argument("--soft_decode", action="store_true",
+                   help="Differentiable DORN decode (sum of probs)")
     p.add_argument("--workdir", type=str, default="result")
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--download", action="store_true")
@@ -161,7 +165,9 @@ def main(argv=None):
     config = Config(
         model=ModelConfig(
             decoder_ids=tuple(args.decoders),
-            compute_dtype="bfloat16" if args.precision == 16 else "float32"),
+            compute_dtype="bfloat16" if args.precision == 16 else "float32",
+            remat=args.remat,
+            soft_ordinal_decode=args.soft_decode),
         data=DataConfig(dataset=args.dataset,
                         dataset_type=args.dataset_type,
                         path=args.nyu_path or args.data_path,
