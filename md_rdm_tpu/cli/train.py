@@ -56,8 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decoders", type=int, nargs="+", default=[1],
                    help="Decoder ids to instantiate (1-10)")
     p.add_argument("--augment", choices=("host", "device"), default="host")
-    p.add_argument("--remat", action="store_true",
-                   help="Rematerialize encoder dense blocks (less memory)")
+    p.add_argument("--remat", dest="remat", action="store_true",
+                   default=True,
+                   help="Rematerialize encoder dense blocks (default on: "
+                        "faster and leaner; see PERF.md)")
+    p.add_argument("--no_remat", dest="remat", action="store_false")
     p.add_argument("--soft_decode", action="store_true",
                    help="Differentiable DORN decode (sum of probs)")
     p.add_argument("--workdir", type=str, default="result")

@@ -55,10 +55,11 @@ class ModelConfig:
     # Compute dtype for the conv backbone ("bfloat16" or "float32"); the
     # fusion tail always runs float32.  Mirrors AMP O2 (train.py:57-58).
     compute_dtype: str = "float32"
-    # Rematerialize dense blocks in the backward pass (jax.checkpoint):
-    # trades ~20% step time for large activation-memory savings, enabling
-    # bigger per-chip batches.
-    remat: bool = False
+    # Rematerialize dense blocks in the backward pass (jax.checkpoint).
+    # Default ON: measured *faster* than saving activations (batch-64 train
+    # step 7.6 ms vs 9.6 ms - recompute beats the HBM traffic of the saved
+    # concat stacks) in addition to the memory savings.
+    remat: bool = True
     # Differentiable DORN decode (sum of probs instead of count(P>0.5)) -
     # the reference's commented alternative (RDM_Net.py:343).  Off by
     # default: the faithful hard count blocks depth-loss gradients into
