@@ -26,10 +26,22 @@ def _delta(pred, target, mask, exp):
 
 
 def compute_metrics(pred: jnp.ndarray, target: jnp.ndarray,
-                    names: Sequence[str]) -> Dict[str, jnp.ndarray]:
-    """Evaluate the named metrics; pred/target any matching shape."""
+                    names: Sequence[str],
+                    sample_weight: jnp.ndarray = None
+                    ) -> Dict[str, jnp.ndarray]:
+    """Evaluate the named metrics; pred/target any matching shape.
+
+    ``sample_weight`` (optional, shape (B,)): per-sample validity - samples
+    with weight 0 are excluded from every pixel pool.  Used to mask out the
+    repeated-padding rows that make eval batches shardable on a mesh
+    (loop.py pads the tail batch up to a multiple of the device count).
+    """
     pred = jnp.maximum(pred, 1e-7)
     mask = target > 0
+    if sample_weight is not None:
+        w = sample_weight.reshape(
+            (-1,) + (1,) * (target.ndim - 1)) > 0
+        mask = mask & w
     safe_t = jnp.where(mask, target, 1.0)
     out = {}
     for name in names:
@@ -67,14 +79,17 @@ class MetricAccumulator:
         self.reset()
 
     def reset(self):
-        self.count = 0
+        self.count = 0.0
         self.sums = {n: 0.0 for n in self.names}
 
-    def update(self, values: Dict[str, jnp.ndarray]):
-        self.count += 1
+    def update(self, values: Dict[str, jnp.ndarray], weight: float = 1.0):
+        """Accumulate one batch of metric values.  ``weight`` is the number
+        of real samples the batch represents (padded eval tails pass the
+        unpadded size so every image counts once in the epoch average)."""
+        self.count += weight
         for n in self.names:
-            self.sums[n] += float(values[n])
+            self.sums[n] += float(values[n]) * weight
 
     def averages(self) -> Dict[str, float]:
-        c = max(self.count, 1)
+        c = max(self.count, 1e-12)
         return {n: self.sums[n] / c for n in self.names}

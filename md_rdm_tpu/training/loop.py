@@ -78,9 +78,9 @@ class Trainer:
                 state, self.tx, x, y, key),
             donate_argnums=(0,),
             in_shardings=(rep, bsh, bsh, rep), out_shardings=(rep, rep))
-        self._eval_step = jax.jit(self.module.eval_step,
-                                  in_shardings=(rep, bsh, bsh),
-                                  out_shardings=rep)
+        self._eval_step = jax.jit(
+            lambda state, x, y, w: self.module.eval_step(state, x, y, w),
+            in_shardings=(rep, bsh, bsh, bsh), out_shardings=rep)
         self._device_augment = config.data.augment_backend == "device"
         self._aug_key = jax.random.PRNGKey(
             (config.train.seed or 0) ^ 0x5EED)
@@ -93,6 +93,27 @@ class Trainer:
             seed if seed is not None else 0)
         state = self.module.init(rng, self.tx, jnp.asarray(sample_x))
         return replicate(self.mesh, state)
+
+    def warmup(self, state: TrainState, sample_x: np.ndarray,
+               sample_y: np.ndarray) -> None:
+        """Pre-compile BOTH train-step executables before epoch 0.
+
+        The step donates its state argument; the donated output's buffer
+        layout can differ from the init-produced layout, so the second call
+        of a fresh run hits a different executable than the first (a ~2 min
+        reload observed on the TPU relay).  Running two throwaway steps on a
+        cloned state caches both, so real training holds steady-state speed
+        from step 0.  The clone keeps the real state's buffers intact.
+        """
+        clone = jax.tree_util.tree_map(jnp.copy, state)
+        xd, yd = self._put(np.asarray(sample_x), np.asarray(sample_y))
+        for _ in range(2):
+            if self._device_augment:
+                clone, logs = self._train_step_aug(
+                    clone, xd, yd, jax.random.PRNGKey(0))
+            else:
+                clone, logs = self._train_step(clone, xd, yd)
+        jax.block_until_ready(logs)
 
     def restore(self, state_template: TrainState) -> Tuple[int, TrainState]:
         step, state, extra = self.ckpt.restore(state_template)
@@ -170,18 +191,26 @@ class Trainer:
         acc = MetricAccumulator(list(cfg.metrics))
         logs_hist = []
         for i, (x, y) in enumerate(loader):
+            b_real = x.shape[0]
             xd, yd = self._put(x, y)
-            logs_hist.append(self._eval_step(state, xd, yd))
+            # weight vector: 1 for real rows, 0 for the shardability padding
+            w = np.zeros(xd.shape[0], np.float32)
+            w[:b_real] = 1.0
+            wd = jax.device_put(jnp.asarray(w), batch_sharding(self.mesh))
+            logs_hist.append((self._eval_step(state, xd, yd, wd), b_real))
             if cfg.dev and i >= 0:
                 break
-        for logs in jax.device_get(logs_hist):
-            acc.update(logs)
+        for logs, b_real in logs_hist:
+            acc.update(jax.device_get(logs), weight=b_real)
         return acc.averages()
 
     def fit(self, state: TrainState, train_loader: Iterable,
             val_loader: Iterable) -> TrainState:
         cfg = self.config.train
-        for epoch in range(cfg.max_epochs):
+        # Lightning semantics (reference train.py:15,51): train for at
+        # least min_epochs even if max_epochs is set lower.
+        n_epochs = max(cfg.max_epochs, cfg.min_epochs)
+        for epoch in range(n_epochs):
             state, train_metrics = self.train_epoch(state, train_loader, epoch)
             val_metrics = self.eval_epoch(state, val_loader, epoch)
             self.logger.log(epoch, train_metrics, prefix="epoch_train_")

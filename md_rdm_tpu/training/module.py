@@ -165,15 +165,20 @@ class DepthTrainer:
         x, y = augment_batch(key, x_raw, y_raw, out_hw=(size, size))
         return self.train_step(state, tx, x, y)
 
-    def eval_step(self, state: TrainState, x: jnp.ndarray, y: jnp.ndarray
-                  ) -> Dict[str, jnp.ndarray]:
-        """Validation step (module.py:99-117): metrics only."""
+    def eval_step(self, state: TrainState, x: jnp.ndarray, y: jnp.ndarray,
+                  w: jnp.ndarray = None) -> Dict[str, jnp.ndarray]:
+        """Validation step (module.py:99-117): metrics only.
+
+        ``w`` (optional, (B,)): 1.0 for real samples, 0.0 for the repeated
+        rows that pad the tail batch up to the mesh size - padded rows are
+        excluded from every metric pool.
+        """
         cfg = self.config
         y = mask_target(resize_bicubic(y, 128))
         _, aux = self._forward_loss(state.params, state.batch_stats, x, y,
                                     train=False)
         return compute_metrics(aux["final"], normalize_gm(y),
-                               cfg.train.metrics)
+                               cfg.train.metrics, sample_weight=w)
 
     def predict_step(self, state: TrainState, x: jnp.ndarray) -> jnp.ndarray:
         """Inference: final fused 128x128 depth map (log-space, as the
