@@ -50,6 +50,10 @@ def convert_state_dict(sd: Dict[str, "Any"]):
         name = re.sub(r"^model\.", "", name)
         if name.startswith("quantizers"):
             continue
+        if v.size == 0:
+            # zero-size fusion-weight slots (reference keeps empty frozen
+            # tensors, RDM_Net.py:470-472); the flax model has no param
+            continue
         parts = name.split(".")
         # torchvision dense layers appear as denselayerN.norm1 etc.; our
         # modules use identical names, so the path maps 1:1.  Bare numeric
