@@ -71,12 +71,27 @@ def main():
     dt = (time.perf_counter() - t0) / ITERS
 
     ips = BATCH / dt
-    print(json.dumps({
+    out = {
         "metric": "nyu_depth_maps_per_sec_per_chip_b16",
         "value": round(ips, 2),
         "unit": "images/sec",
         "vs_baseline": round(ips / TORCH_CPU_IMAGES_PER_SEC, 1),
-    }))
+    }
+    # roofline accounting (auditability): XLA cost model flops/bytes for
+    # one forward; MFU normalized to the v5e bf16 peak (197 TFLOP/s),
+    # HBM utilization to 819 GB/s.
+    try:
+        ca = forward.lower(variables, x).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        byt = float(ca.get("bytes accessed", 0.0))
+        if flops:
+            out["mfu_pct"] = round(100 * flops / dt / 197e12, 2)
+            out["hbm_pct"] = round(100 * byt / dt / 819e9, 2)
+    except Exception:
+        pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -69,6 +69,10 @@ class ModelConfig:
     # (RDM_Net.py:364,378,392; computations.py:38,95).
     als_iters_quadratic: int = 30
     als_iters_rect: int = 100
+    # Fused Pallas comparison+quantize kernel on the cross-scale relative
+    # paths (kernels/lloyd.py): "auto" = on real TPU only (the interpret
+    # fallback is slow on CPU), "on"/"off" force it.
+    pallas_lloyd: str = "auto"
 
     def __post_init__(self):
         for d in self.decoder_ids:

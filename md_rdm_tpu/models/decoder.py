@@ -66,9 +66,28 @@ def dorn_decode(logits: jnp.ndarray,
     return decoded[:, None, :, :], probs
 
 
+def cross_scale_quantized(dn: jnp.ndarray, dn_1: jnp.ndarray, size: int,
+                          pallas: str = "auto") -> jnp.ndarray:
+    """Quantized cross-scale comparison, Pallas-fused where it pays.
+
+    ``pallas``: "auto" uses the fused kernel on a real TPU backend (the
+    ratio matrix then never round-trips through HBM - kernels/lloyd.py);
+    "on"/"off" force the choice (interpret-mode Pallas is slow on CPU).
+    """
+    import jax
+
+    use = pallas == "on" or (pallas == "auto"
+                             and jax.default_backend() == "tpu")
+    if use:
+        from md_rdm_tpu.kernels.lloyd import fused_comparison_quantize
+        return fused_comparison_quantize(dn, dn_1, size)
+    return lloyd_quantize(comparison_cross_scale(dn, dn_1), size=size)
+
+
 def relative_map_from_features(d: jnp.ndarray, size: int,
                                als_iters_quadratic: int = 30,
-                               als_iters_rect: int = 100) -> jnp.ndarray:
+                               als_iters_rect: int = 100,
+                               pallas: str = "auto") -> jnp.ndarray:
     """Relative-depth branch of Ordinal_Layer (RDM_Net.py:358-396).
 
     d: (B, 1, size, size) single-channel feature map (NCHW).
@@ -81,15 +100,15 @@ def relative_map_from_features(d: jnp.ndarray, size: int,
         return quadratic_als(sparse, n=3, num_iters=als_iters_quadratic)
     dn_1 = resize_bicubic(d, size // 2)
     if size == 16:
-        sparse = lloyd_quantize(comparison_cross_scale(d, dn_1), size=16)
+        sparse = cross_scale_quantized(d, dn_1, 16, pallas)
         return alternating_least_squares(sparse, n=4,
                                          num_iters=als_iters_rect)
     # paged path: tiles go into the batch axis -> one batched ALS call
     dn_pages, dn1_pages = split_matrix(d, dn_1)      # (B,P,1,16,16)/(...,8,8)
     b, p = dn_pages.shape[:2]
-    sparse = comparison_cross_scale(
-        dn_pages.reshape(b * p, 1, 16, 16), dn1_pages.reshape(b * p, 1, 8, 8))
-    sparse = lloyd_quantize(sparse, size=size)
+    sparse = cross_scale_quantized(
+        dn_pages.reshape(b * p, 1, 16, 16), dn1_pages.reshape(b * p, 1, 8, 8),
+        size, pallas)
     filled = alternating_least_squares(sparse, n=4, num_iters=als_iters_rect)
     return merge_pages(filled.reshape(b, p, 1, 16, 16), grid=size // 16)
 
@@ -109,6 +128,7 @@ class Decoder(nn.Module):
     als_iters_rect: int = 100
     relative_tail: bool = True
     soft_ordinal_decode: bool = False
+    pallas_lloyd: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -126,7 +146,8 @@ class Decoder(nn.Module):
             if not self.relative_tail:
                 return d
             return relative_map_from_features(
-                d, size, self.als_iters_quadratic, self.als_iters_rect)
+                d, size, self.als_iters_quadratic, self.als_iters_rect,
+                pallas=self.pallas_lloyd)
 
         if did == 1:
             x = nn.Conv(self.ordinal_channels, (1, 1), dtype=self.dtype,
@@ -135,16 +156,17 @@ class Decoder(nn.Module):
         return dorn_decode(x, soft=self.soft_ordinal_decode)
 
 
-def build_cross_scale_sparse(d: jnp.ndarray, size: int):
+def build_cross_scale_sparse(d: jnp.ndarray, size: int,
+                             pallas: str = "auto"):
     """Quantized cross-scale sparse matrices for a relative decoder map.
 
     Returns (sparse (B*P, 256, 64), num_pages P) for size >= 16.
     """
     dn_1 = resize_bicubic(d, size // 2)
     if size == 16:
-        return lloyd_quantize(comparison_cross_scale(d, dn_1), size=16), 1
+        return cross_scale_quantized(d, dn_1, 16, pallas), 1
     dn_pages, dn1_pages = split_matrix(d, dn_1)
     b, p = dn_pages.shape[:2]
-    sparse = comparison_cross_scale(
-        dn_pages.reshape(b * p, 1, 16, 16), dn1_pages.reshape(b * p, 1, 8, 8))
-    return lloyd_quantize(sparse, size=size), p
+    return cross_scale_quantized(
+        dn_pages.reshape(b * p, 1, 16, 16),
+        dn1_pages.reshape(b * p, 1, 8, 8), size, pallas), p

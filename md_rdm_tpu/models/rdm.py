@@ -87,6 +87,7 @@ class DepthEstimationNet(nn.Module):
                           als_iters_rect=cfg.als_iters_rect,
                           relative_tail=run_tail_inline,
                           soft_ordinal_decode=cfg.soft_ordinal_decode,
+                          pallas_lloyd=cfg.pallas_lloyd,
                           dtype=dtype, name=f"d_{did}")(feats, train=train)
             if did <= 5:
                 depth, probs = out
@@ -96,7 +97,8 @@ class DepthEstimationNet(nn.Module):
             elif run_tail_inline:
                 rel_maps[did] = out
             else:
-                sparse, pages = build_cross_scale_sparse(out, size)
+                sparse, pages = build_cross_scale_sparse(
+                    out, size, pallas=cfg.pallas_lloyd)
                 rect_sparse.append(sparse)
                 rect_groups.append(
                     jnp.full((sparse.shape[0],), len(rect_meta), jnp.int32))

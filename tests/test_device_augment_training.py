@@ -22,6 +22,79 @@ def test_raw_resize_dataset_fixed_shapes():
     assert 0.0 <= rgb.min() and rgb.max() <= 1.0
 
 
+def test_device_augment_distribution_matches_host_recipe():
+    """Distribution-level parity of the device augment vs the host recipe
+    (VERDICT r1 weak #6): the two backends deviate in resampling details
+    (bilinear vs PIL, fixed jitter order) but must agree on the statistics
+    that matter for training - the depth/s scaling law and the output-crop
+    intensity distribution."""
+    from md_rdm_tpu.data import transforms as T
+    from md_rdm_tpu.data.augment import augment_batch
+
+    n = 48
+    h, w = 480, 640
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    rgb_f = np.stack([yy / h, xx / w, 0.5 * np.ones((h, w), np.float32)],
+                     axis=-1)
+    rgb_u8 = (rgb_f * 255).astype(np.uint8)
+    depth = np.full((h, w), 5.0, np.float32)
+
+    # host recipe (NYU training_preprocess, data/nyu.py:164-183)
+    rng = np.random.default_rng(0)
+    host_rgb, host_dep = [], []
+    for _ in range(n):
+        s = rng.uniform(1.0, 1.5)
+        dep = depth / s
+        im = T.ColorJitter(0.4, 0.4, 0.4, rng=rng)(rgb_u8)
+        im = T.ResizeTo(250)(im)
+        dep = T.ResizeTo(250)(dep)
+        angle = rng.uniform(-5.0, 5.0)
+        im, dep = T.Rotate(angle)(im), T.Rotate(angle)(dep)
+        im = T.ResizeTo(int(250 * s))(im)
+        dep = T.ResizeTo(int(250 * s))(dep)
+        im = T.CenterCrop((226, 226))(im)
+        dep = T.CenterCrop((226, 226))(dep)
+        if rng.uniform() > 0.5:
+            im, dep = np.fliplr(im), np.fliplr(dep)
+        host_rgb.append(np.asarray(im, np.float32) / 255.0)
+        host_dep.append(np.asarray(dep, np.float32))
+    host_rgb, host_dep = np.stack(host_rgb), np.stack(host_dep)
+
+    # device recipe on the pre-standardized raw batch (RawResizeDataset hw)
+    class _Fixed:
+        def get_raw(self, i):
+            return rgb_f, depth
+
+        def __len__(self):
+            return 1
+
+    im250, dep250 = RawResizeDataset(_Fixed(), raw_hw=(250, 333))[0]
+    x = jnp.asarray(np.broadcast_to(im250, (n, 250, 333, 3)))
+    y = jnp.asarray(np.broadcast_to(dep250[None], (n, 1, 250, 333)))
+    dev_rgb, dev_dep = jax.device_get(
+        augment_batch(jax.random.PRNGKey(0), x, y))
+    dev_dep = dev_dep[:, 0]
+
+    # central region avoids rotation fill and crop-boundary effects
+    c = np.s_[:, 63:163, 63:163]
+    # depth/s law: the input depth is constant 5.0, so each output's central
+    # crop must be exactly 5/s_i (constant through resize/rotate/crop), with
+    # the inferred s_i ~ U(1, 1.5).  This checks the scaling directly
+    # instead of comparing two independent PRNG draws of s.
+    for dep in (dev_dep, host_dep):
+        per = dep[c].reshape(n, -1)
+        assert float(per.std(axis=1).max()) < 1e-3       # stays constant
+        s_inf = 5.0 / per.mean(axis=1)
+        assert s_inf.min() > 1.0 - 1e-3 and s_inf.max() < 1.5 + 1e-3
+        # mean of n uniforms: 4 sigma band around 1.25
+        assert abs(s_inf.mean() - 1.25) < 4 * 0.1443 / np.sqrt(n)
+    # crop intensity distribution: mean and std agree across backends
+    np.testing.assert_allclose(dev_rgb[c].mean(), host_rgb[c].mean(),
+                               atol=0.06)
+    np.testing.assert_allclose(dev_rgb[c].std(), host_rgb[c].std(),
+                               atol=0.06)
+
+
 def test_train_step_with_fused_device_augment():
     cfg = Config(model=ModelConfig(decoder_ids=(1,)),
                  train=TrainConfig(metrics=("mse",)))

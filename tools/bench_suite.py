@@ -25,12 +25,47 @@ def timeit(fn, iters, *args):
     return (time.perf_counter() - t0) / iters
 
 
+# TPU v5e (v5 lite) single-chip peaks: 197 TFLOP/s bf16 MXU (MFU convention
+# normalizes against the bf16 peak regardless of compute dtype), 819 GB/s
+# HBM bandwidth.
+V5E_PEAK_FLOPS = 197e12
+V5E_PEAK_BYTES = 819e9
+
+
+def xla_cost(jitted, *args):
+    """(flops, bytes accessed) from XLA's cost model for one call."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return (float(ca.get("flops", 0.0)),
+                float(ca.get("bytes accessed", 0.0)))
+    except Exception:
+        return 0.0, 0.0
+
+
+def roofline(record, name, jitted, dt, *args):
+    """Record MFU + HBM-bandwidth utilization + arithmetic intensity."""
+    flops, byt = xla_cost(jitted, *args)
+    if not flops:
+        return
+    record(f"{name}_gflops", round(flops / 1e9, 2))
+    record(f"{name}_gbytes", round(byt / 1e9, 3))
+    record(f"{name}_mfu_pct", round(100 * flops / dt / V5E_PEAK_FLOPS, 2))
+    record(f"{name}_hbm_pct", round(100 * byt / dt / V5E_PEAK_BYTES, 2))
+    record(f"{name}_flops_per_byte", round(flops / max(byt, 1.0), 1))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--skip", nargs="*", default=[],
-                    choices=["fwd", "train", "relative", "pallas"])
+                    choices=["fwd", "train", "relative", "pallas",
+                             "train_opt"])
+    ap.add_argument("--only", nargs="*", default=[],
+                    choices=["fwd", "train", "relative", "pallas",
+                             "train_opt"])
     args = ap.parse_args()
 
     import os
@@ -55,6 +90,10 @@ def main():
     from md_rdm_tpu.training.module import DepthTrainer
     from md_rdm_tpu.training.optim import make_optimizer
 
+    if args.only:
+        all_sections = {"fwd", "train", "relative", "pallas", "train_opt"}
+        args.skip = sorted(all_sections - set(args.only))
+
     b = args.batch
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((b, 226, 226, 3)), jnp.float32)
@@ -78,6 +117,7 @@ def main():
 
             dt = timeit(fwd, args.iters, variables, x)
             record(f"forward_{dtype}_img_per_s", round(b / dt, 1))
+            roofline(record, f"forward_{dtype}", fwd, dt, variables, x)
 
     if "train" not in args.skip:
         cfg = Config(model=ModelConfig(decoder_ids=(1,),
@@ -96,6 +136,7 @@ def main():
         dt = (time.perf_counter() - t0) / args.iters
         record("train_step_bf16_img_per_s", round(b / dt, 1))
         record("train_step_ms", round(dt * 1e3, 2))
+        roofline(record, "train_step_bf16", step, dt, state, x, y)
 
     if "relative" not in args.skip:
         model = DepthEstimationNet(
@@ -109,6 +150,29 @@ def main():
 
         dt = timeit(fwd_rel, args.iters, variables, x)
         record("forward_rel_d1d6_img_per_s", round(b / dt, 1))
+
+    if "train_opt" not in args.skip:
+        # authors' optimal decoder set (1,6,7,8,9) - RDM_Net.py:96-97 -
+        # full train step (fwd+bwd+AdamW) with the grouped-ALS fusion tail
+        cfg = Config(model=ModelConfig(decoder_ids=(1, 6, 7, 8, 9)),
+                     train=TrainConfig(metrics=("delta1", "mse")))
+        module = DepthTrainer(cfg)
+        tx = make_optimizer(1e-4)
+        state = module.init(jax.random.PRNGKey(0), tx, x[:1])
+        state = jax.device_put(state, jax.devices()[0])
+        step = jax.jit(lambda s, xx, yy: module.train_step(s, tx, xx, yy),
+                       donate_argnums=(0,))
+        state, _ = step(state, x, y)      # warmup + donated layout
+        state, _ = step(state, x, y)
+        jax.block_until_ready(state.params)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            state, logs = step(state, x, y)
+        jax.block_until_ready(state.params)
+        dt = (time.perf_counter() - t0) / args.iters
+        record("train_step_opt_set_img_per_s", round(b / dt, 1))
+        record("train_step_opt_set_ms", round(dt * 1e3, 2))
+        roofline(record, "train_step_opt_set", step, dt, state, x, y)
 
     if "pallas" not in args.skip:
         from md_rdm_tpu.kernels.lloyd import fused_comparison_quantize
