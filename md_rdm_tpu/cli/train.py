@@ -65,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_remat", dest="remat", action="store_false")
     p.add_argument("--soft_decode", action="store_true",
                    help="Differentiable DORN decode (sum of probs)")
+    p.add_argument("--linear_metrics", action="store_true",
+                   help="Score exp(final) instead of the log-space map "
+                        "(fixed mode; faithful default pins delta1 ~ 0)")
     p.add_argument("--workdir", type=str, default="result")
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--download", action="store_true")
@@ -188,6 +191,7 @@ def main(argv=None):
         train=TrainConfig(
             learning_rate=args.learning_rate,
             min_epochs=args.min_epochs, max_epochs=args.max_epochs,
+            metrics_space="linear" if args.linear_metrics else "faithful",
             seed=args.seed, metrics=tuple(args.metrics),
             overfit=args.overfit, dev=args.dev,
             debug_nans=args.detect_anomaly,

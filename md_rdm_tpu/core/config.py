@@ -176,6 +176,14 @@ class TrainConfig:
     monitor: str = "delta1"
     metrics: Tuple[str, ...] = (
         "delta1", "delta2", "delta3", "mse", "mae", "log10", "rmse")
+    # Metric evaluation space.  "faithful" (default) scores the log-space
+    # recombined map directly against the gm-normalized linear target - the
+    # reference's own pairing (module.py:94-97,117), under which ratio
+    # metrics like delta1 are pinned ~0 by construction.  "linear"
+    # exponentiates the recombined map first (recombination returns log
+    # depth - computations.py:394-421), giving meaningful delta/rel
+    # metrics; a documented "fixed" mode like soft_ordinal_decode.
+    metrics_space: str = "faithful"
     overfit: bool = False
     dev: bool = False
     debug_nans: bool = False      # analogue of --detect_anomaly train.py:20

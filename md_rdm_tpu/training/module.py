@@ -145,9 +145,17 @@ class DepthTrainer:
         logs = {"loss": total, "MSE": aux["mse"],
                 "Ord_Loss": aux["ord_loss"],
                 "Fine_Detail": aux["fine_detail"]}
-        logs.update(compute_metrics(aux["final"], normalize_gm(y),
-                                    cfg.train.metrics))
+        logs.update(compute_metrics(self._metric_pred(aux["final"]),
+                                    normalize_gm(y), cfg.train.metrics))
         return new_state, logs
+
+    def _metric_pred(self, final: jnp.ndarray) -> jnp.ndarray:
+        """Recombination returns LOG depth; 'linear' metric space maps it
+        back with exp so delta/rel metrics are meaningful (faithful mode
+        scores the log map directly, as the reference does)."""
+        if self.config.train.metrics_space == "linear":
+            return jnp.exp(final)
+        return final
 
     def train_step_device_aug(self, state: TrainState,
                               tx: optax.GradientTransformation,
@@ -177,8 +185,9 @@ class DepthTrainer:
         y = mask_target(resize_bicubic(y, 128))
         _, aux = self._forward_loss(state.params, state.batch_stats, x, y,
                                     train=False)
-        return compute_metrics(aux["final"], normalize_gm(y),
-                               cfg.train.metrics, sample_weight=w)
+        return compute_metrics(self._metric_pred(aux["final"]),
+                               normalize_gm(y), cfg.train.metrics,
+                               sample_weight=w)
 
     def predict_step(self, state: TrainState, x: jnp.ndarray) -> jnp.ndarray:
         """Inference: final fused 128x128 depth map (log-space, as the

@@ -108,6 +108,21 @@ def test_multichip_data_parallel_step(trainer_state):
     assert leaf.sharding.is_fully_replicated
 
 
+def test_metrics_space_linear_exponentiates():
+    """'linear' metric space maps the log-space recombined map back to
+    depth; 'faithful' (default) scores the log map directly."""
+    base = dict(model=ModelConfig(decoder_ids=(1,)))
+    lin = DepthTrainer(Config(**base, train=TrainConfig(
+        metrics=("delta1",), metrics_space="linear")))
+    fai = DepthTrainer(Config(**base, train=TrainConfig(
+        metrics=("delta1",))))
+    logmap = jnp.log(jnp.asarray([[1.0, 2.0, 0.5]]))
+    np.testing.assert_allclose(np.asarray(lin._metric_pred(logmap)),
+                               [[1.0, 2.0, 0.5]], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(fai._metric_pred(logmap)),
+                               np.asarray(logmap))
+
+
 def test_metric_sample_weight_excludes_padding():
     """compute_metrics with a 0-weight row == metrics on the unpadded rows."""
     from md_rdm_tpu.metrics import MetricAccumulator, compute_metrics
