@@ -1,75 +1,40 @@
 """Benchmark: NYUv2-shape depth maps/sec/chip at batch 16 (BASELINE.md).
 
 Runs the flagship live-path forward (encoder -> d_1 DORN -> decomposition ->
-fusion -> recombination to the final 128x128 map) under one jit on the
-default backend (the real TPU chip), batch 16, and reports throughput vs
-the measured PyTorch-CPU baseline (tools/baseline_torch.py on this image:
-0.248 images/sec at batch 16, single CPU core, fusion tail included).
+fusion -> recombination to the final 128x128 map), batch 16, on the default
+backend (the real TPU chip), and reports throughput vs the measured
+PyTorch-CPU baseline (tools/baseline_torch.py on this image: 0.248
+images/sec at batch 16, single CPU core, fusion tail included).
 
-Measured round 1 (TPU v5e single chip, batch 16, uncontended):
-forward f32 20,698 img/s; forward bf16 17,010 img/s; full train step
-(fwd+bwd+AdamW) f32 6.6 ms = 2,424 img/s, bf16 12.96 ms; d1+d6
-relative-tail forward 17,625 img/s.  float32 beats bfloat16 throughout on
-this model (the (16,128) bf16 tile constraint penalizes the heavily
-concatenated DenseNet), so f32 is the default compute dtype.
+Timing methodology (round 2, tools/true_bench.py): the remote-TPU relay's
+``block_until_ready`` acknowledges dispatch without waiting for execution
+(a 1.1 TFLOP calibration matmul "finished" at 31 PFLOP/s by that clock -
+156x the chip's physical peak), which had inflated round-1 numbers.  Now K
+forwards are chained inside one jit via ``lax.scan`` (loop-carried operand
+so XLA cannot elide the body), a scalar is fetched to force a real sync,
+and two K values are differenced to cancel dispatch/fetch overhead.  The
+calibration matmul measures <= the 197 TFLOP/s peak under this clock.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "mfu_pct": N}
 """
 import json
-import time
-
-import numpy as np
+import os
+import sys
 
 # Measured on this container (tools/baseline_torch.py --batch 16): the
 # reference's live forward path in torch-CPU, fusion tail included.
 TORCH_CPU_IMAGES_PER_SEC = 0.248
 
 BATCH = 16
-WARMUP = 3
-ITERS = 20
 
 
 def main():
-    import os
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".jax_cache")
-    import jax
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
-    import jax.numpy as jnp
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from true_bench import V5E_PEAK_FLOPS, measure_forward
 
-    from md_rdm_tpu.core.config import ModelConfig
-    from md_rdm_tpu.models.rdm import DepthEstimationNet
-    from md_rdm_tpu.ops.decompose import recombination
-
-    model = DepthEstimationNet(
-        ModelConfig(decoder_ids=(1,), compute_dtype="float32"))
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.random((BATCH, 226, 226, 3)), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x[:1], train=False)
-    # Pin params to the device: init-produced arrays can otherwise be
-    # re-streamed host<->device on every call under the remote-TPU relay
-    # (measured 45x slowdown on the multi-decoder config).
-    variables = jax.device_put(variables, jax.devices()[0])
-
-    # NOTE: variables must be an explicit argument - closing over them bakes
-    # 90M parameters into the HLO as constants (oversized compile payloads).
-    @jax.jit
-    def forward(variables, x):
-        yhat, ord_depth, _ = model.apply(variables, x, train=False)
-        return recombination(list(yhat)), ord_depth
-
-    for _ in range(WARMUP):
-        jax.block_until_ready(forward(variables, x))
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        jax.block_until_ready(forward(variables, x))
-    dt = (time.perf_counter() - t0) / ITERS
-
+    dt, flops = measure_forward(BATCH, k_lo=4, k_hi=16)
     ips = BATCH / dt
     out = {
         "metric": "nyu_depth_maps_per_sec_per_chip_b16",
@@ -77,20 +42,9 @@ def main():
         "unit": "images/sec",
         "vs_baseline": round(ips / TORCH_CPU_IMAGES_PER_SEC, 1),
     }
-    # roofline accounting (auditability): XLA cost model flops/bytes for
-    # one forward; MFU normalized to the v5e bf16 peak (197 TFLOP/s),
-    # HBM utilization to 819 GB/s.
-    try:
-        ca = forward.lower(variables, x).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0))
-        byt = float(ca.get("bytes accessed", 0.0))
-        if flops:
-            out["mfu_pct"] = round(100 * flops / dt / 197e12, 2)
-            out["hbm_pct"] = round(100 * byt / dt / 819e9, 2)
-    except Exception:
-        pass
+    if flops:
+        out["mfu_pct"] = round(100 * flops / dt / V5E_PEAK_FLOPS, 2)
+        out["gflops_per_image"] = round(flops / BATCH / 1e9, 1)
     print(json.dumps(out))
 
 

@@ -151,6 +151,23 @@ def main():
         dt = timeit(fwd_rel, args.iters, variables, x)
         record("forward_rel_d1d6_img_per_s", round(b / dt, 1))
 
+        # in-graph Pallas-vs-XLA comparison on the paged path (d1+d9:
+        # 16 tiles/image through comparison+quantize) - same weights
+        for mode in ("on", "off"):
+            model9 = DepthEstimationNet(
+                ModelConfig(decoder_ids=(1, 9), pallas_lloyd=mode))
+            v9 = jax.device_put(
+                model9.init(jax.random.PRNGKey(0), x[:1], train=False),
+                jax.devices()[0])
+
+            @jax.jit
+            def fwd9(v, xx, model9=model9):
+                yhat, d, _ = model9.apply(v, xx, train=False)
+                return recombination(list(yhat))
+
+            dt = timeit(fwd9, args.iters, v9, x)
+            record(f"forward_d1d9_pallas_{mode}_ms", round(dt * 1e3, 2))
+
     if "train_opt" not in args.skip:
         # authors' optimal decoder set (1,6,7,8,9) - RDM_Net.py:96-97 -
         # full train step (fwd+bwd+AdamW) with the grouped-ALS fusion tail

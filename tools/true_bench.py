@@ -1,0 +1,246 @@
+"""Honest device-throughput measurement through the remote-TPU relay.
+
+The axon relay's ``block_until_ready`` acknowledges dispatch without
+waiting for device execution: an 8192^3 bf16 matmul (1.1 TFLOP, >= 5.6 ms
+at the 197 TFLOP/s v5e peak) "completes" in 0.04 ms by that clock - a
+physically impossible 31 PFLOP/s.  Only fetching result bytes forces a
+real sync, and each fetch pays a relay round trip.
+
+Methodology here: run K iterations of the workload INSIDE one jit via
+``lax.scan`` (loop-carried dependency so XLA cannot hoist or elide the
+body), fetch one scalar, and difference two K values:
+
+    time_per_iter = (T(k_hi) - T(k_lo)) / (k_hi - k_lo)
+
+which cancels dispatch latency, scalar-fetch round trip, and any constant
+relay overhead.  Reports per-iter time, images/sec, and MFU from XLA's
+cost model (validated exact on the calibration matmul).
+
+Usage: python tools/true_bench.py [--batch 16] [--k 16] [--sections ...]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+V5E_PEAK_FLOPS = 197e12
+V5E_PEAK_BYTES = 819e9
+
+
+def scan_time(make_scan, k_lo, k_hi, repeats=3):
+    """Median of (T(k_hi)-T(k_lo))/(k_hi-k_lo) over repeats."""
+    times = {}
+    for k in (k_lo, k_hi):
+        fn = make_scan(k)
+        fn()                                   # compile + warm
+        best = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn()
+            best.append(time.perf_counter() - t0)
+        times[k] = min(best)
+    return (times[k_hi] - times[k_lo]) / (k_hi - k_lo)
+
+
+def _setup():
+    import os
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(repo, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
+def flops_of(jitted, *a):
+    try:
+        ca = jitted.lower(*a).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def measure_forward(batch: int = 16, k_lo: int = 4, k_hi: int = 16,
+                    dtype: str = "float32"):
+    """(seconds per forward, flops per forward) for the live config,
+    scan-chained + overhead-differenced (see module docstring)."""
+    _setup()
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from md_rdm_tpu.core.config import ModelConfig
+    from md_rdm_tpu.models.rdm import DepthEstimationNet
+    from md_rdm_tpu.ops.decompose import recombination
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((batch, 226, 226, 3)), jnp.float32)
+    model = DepthEstimationNet(
+        ModelConfig(decoder_ids=(1,), compute_dtype=dtype))
+    variables = jax.device_put(
+        model.init(jax.random.PRNGKey(0), x[:1], train=False),
+        jax.devices()[0])
+
+    def make(k):
+        @jax.jit
+        def run(v, x):
+            def body(c, _):
+                yhat, d, _p = model.apply(v, x + c * 1e-12, train=False)
+                f = recombination(list(yhat))
+                return jnp.sum(f) * 1e-9, None
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=k)
+            return c
+        return lambda: float(run(variables, x))
+
+    dt = scan_time(make, k_lo, k_hi)
+
+    @jax.jit
+    def fwd1(v, x):
+        yhat, d, _p = model.apply(v, x, train=False)
+        return recombination(list(yhat))
+
+    return dt, flops_of(fwd1, variables, x)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--k", type=int, default=16)
+    ap.add_argument("--sections", nargs="*",
+                    default=["calib", "fwd", "train", "train_opt"],
+                    choices=["calib", "fwd", "train", "train_opt",
+                             "pallas"])
+    args = ap.parse_args()
+
+    _setup()
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from md_rdm_tpu.core.config import Config, ModelConfig, TrainConfig
+    from md_rdm_tpu.models.rdm import DepthEstimationNet
+    from md_rdm_tpu.ops.decompose import recombination
+    from md_rdm_tpu.training.module import DepthTrainer
+    from md_rdm_tpu.training.optim import make_optimizer
+
+    b = args.batch
+    k_lo, k_hi = max(args.k // 4, 1), args.k
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((b, 226, 226, 3)), jnp.float32)
+    y = jnp.asarray(rng.random((b, 1, 226, 226)) * 9 + 0.5, jnp.float32)
+    dev = jax.devices()[0]
+    results = {}
+
+    def record(name, value):
+        results[name] = value
+        print(f"{name}: {value}", flush=True)
+
+    if "calib" in args.sections:
+        n = 8192
+        A = jnp.asarray(rng.random((n, n)), jnp.bfloat16)
+        B = jnp.asarray(rng.random((n, n)), jnp.bfloat16)
+
+        def make(k):
+            @jax.jit
+            def run(A, B):
+                def body(c, _):
+                    # carry feeds the operand (sequential, non-hoistable);
+                    # sum-of-abs consumes every output element and cannot
+                    # be algebraically reduced (sum(A@B) can; [0,0] can)
+                    p = (A + c * 1e-9) @ B
+                    c2 = jnp.sum(jnp.abs(p.astype(jnp.float32))) * 1e-12
+                    return c2, None
+                c, _ = jax.lax.scan(body, jnp.float32(0), None, length=k)
+                return c
+            return lambda: float(run(A, B))
+
+        dt = scan_time(make, k_lo, k_hi)
+        tf = 2 * n**3 / dt / 1e12
+        record("calib_matmul_ms", round(dt * 1e3, 3))
+        record("calib_matmul_tflops", round(tf, 1))
+        assert tf < 197.01, "calibration exceeds physical peak - sync broken"
+
+    if "fwd" in args.sections:
+        for dtype in ("float32", "bfloat16"):
+            dt, fl = measure_forward(b, k_lo, k_hi, dtype)
+            tag = {"float32": "forward", "bfloat16": "forward_bf16"}[dtype]
+            record(f"{tag}_ms", round(dt * 1e3, 3))
+            record(f"{tag}_img_per_s", round(b / dt, 1))
+            if fl:
+                record(f"{tag}_gflops", round(fl / 1e9, 1))
+                record(f"{tag}_mfu_pct",
+                       round(100 * fl / dt / V5E_PEAK_FLOPS, 1))
+
+    def bench_train(tag, decoder_ids, dtype="float32"):
+        cfg = Config(model=ModelConfig(decoder_ids=decoder_ids,
+                                       compute_dtype=dtype),
+                     train=TrainConfig(metrics=("delta1", "mse")))
+        module = DepthTrainer(cfg)
+        tx = make_optimizer(1e-4)
+        state0 = jax.device_put(
+            module.init(jax.random.PRNGKey(0), tx, x[:1]), dev)
+
+        def make(k):
+            @jax.jit
+            def run(state, x, y):
+                def body(st, _):
+                    st, logs = module.train_step(st, tx, x, y)
+                    return st, None
+                st, _ = jax.lax.scan(body, state, None, length=k)
+                return st.step, jnp.sum(
+                    jax.tree_util.tree_leaves(st.params)[0])
+            return lambda: jax.device_get(run(state0, x, y))
+
+        dt = scan_time(make, k_lo, k_hi)
+        record(f"{tag}_ms", round(dt * 1e3, 2))
+        record(f"{tag}_img_per_s", round(b / dt, 1))
+
+        step1 = jax.jit(lambda s, xx, yy: module.train_step(s, tx, xx, yy))
+        fl = flops_of(step1, state0, x, y)
+        if fl:
+            record(f"{tag}_gflops", round(fl / 1e9, 1))
+            record(f"{tag}_mfu_pct", round(100 * fl / dt / V5E_PEAK_FLOPS, 1))
+
+    if "train" in args.sections:
+        bench_train("train_step", (1,))
+        bench_train("train_step_bf16", (1,), dtype="bfloat16")
+    if "train_opt" in args.sections:
+        bench_train("train_step_opt_set", (1, 6, 7, 8, 9))
+
+    if "pallas" in args.sections:
+        # paged relative path (d1+d9, 16 tiles/img through comparison+
+        # quantize): fused Pallas kernel vs the XLA formulation, in-graph
+        for mode in ("on", "off"):
+            model9 = DepthEstimationNet(
+                ModelConfig(decoder_ids=(1, 9), pallas_lloyd=mode))
+            v9 = jax.device_put(
+                model9.init(jax.random.PRNGKey(0), x[:1], train=False), dev)
+
+            def make(k, model9=model9, v9=v9):
+                @jax.jit
+                def run(v, x):
+                    def body(c, _):
+                        yhat, d, _p = model9.apply(
+                            v, x + c * 1e-12, train=False)
+                        f = recombination(list(yhat))
+                        return jnp.sum(f) * 1e-9, None
+                    c, _ = jax.lax.scan(body, jnp.float32(0), None,
+                                        length=k)
+                    return c
+                return lambda: float(run(v9, x))
+
+            dt = scan_time(make, k_lo, k_hi)
+            record(f"forward_d1d9_pallas_{mode}_ms", round(dt * 1e3, 2))
+
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()
