@@ -24,9 +24,11 @@ import numpy as np
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("Trains mono depth estimation models (TPU)")
     p.add_argument("--seed", default=None, type=int, help="Random seed")
-    p.add_argument("--precision", default=32, type=int, choices=(16, 32),
-                   help="16 = bfloat16 conv compute, 32 = float32 "
-                        "(f32 measured faster on TPU for this model)")
+    p.add_argument("--precision", default=16, type=int, choices=(16, 32),
+                   help="16 = bfloat16 conv compute (default, matching the "
+                        "reference's AMP-16 default; train step measured "
+                        "40%% faster than f32 under the honest clock), "
+                        "32 = float32")
     p.add_argument("--devices", "--gpus", dest="devices", type=int,
                    default=-1, help="Data-parallel mesh size (-1 = all)")
     p.add_argument("--dev", action="store_true",

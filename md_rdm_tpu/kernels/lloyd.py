@@ -42,13 +42,18 @@ def _kernel(dn_ref, dn1_ref, mask_ref, out_ref, *, q, inv0, dinv):
     out_ref[0, :, :] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("size",))
+@functools.partial(jax.custom_jvp, nondiff_argnums=(2,))
 def fused_comparison_quantize(dn: jnp.ndarray, dn_1: jnp.ndarray,
                               size: int) -> jnp.ndarray:
     """(B, 1, H, W) x (B, 1, H/2, W/2) -> quantized (B, HW, HW/4).
 
     ``size`` selects the Lloyd table (the decoder's map size; for the paged
     path pass the full map size while dn/dn_1 are 16/8 tiles).
+
+    Gradients are explicitly zero (custom_jvp below): quantization emits
+    constants in the reference (RDM_Net.py:296-310), and without the rule
+    jax.grad would try to differentiate the Pallas primitive itself
+    (reciprocal has no JVP) even under a downstream stop_gradient.
     """
     b, _, h, w = dn.shape
     hw, hw4 = h * w, (h // 2) * (w // 2)
@@ -81,4 +86,11 @@ def fused_comparison_quantize(dn: jnp.ndarray, dn_1: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((b, hw, hw4), jnp.float32),
         interpret=jax.default_backend() != "tpu",
     )(dn.reshape(b, 1, hw), dn_1.reshape(b, 1, hw4), jnp.asarray(mask))
-    return jax.lax.stop_gradient(out)
+    return out
+
+
+@fused_comparison_quantize.defjvp
+def _fused_comparison_quantize_jvp(size, primals, tangents):
+    dn, dn_1 = primals
+    out = fused_comparison_quantize(dn, dn_1, size)
+    return out, jnp.zeros_like(out)

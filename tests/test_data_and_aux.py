@@ -212,3 +212,22 @@ def test_fused_comparison_quantize_interpret():
     want = np.asarray(lloyd_quantize(comparison_cross_scale(dn, dn1), 16))
     got = np.asarray(fused_comparison_quantize(dn, dn1, 16))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_fused_comparison_quantize_grad_is_zero():
+    """jax.grad must pass THROUGH the Pallas kernel with zero gradient
+    (quantization emits constants - reference RDM_Net.py:296-310); without
+    the custom_jvp this raised NotImplementedError for 'reciprocal' inside
+    the optimal-set train step."""
+    from md_rdm_tpu.kernels.lloyd import fused_comparison_quantize
+
+    rng = np.random.default_rng(1)
+    dn = jnp.asarray(rng.uniform(0.5, 2.0, (1, 1, 16, 16)), jnp.float32)
+    dn1 = jnp.asarray(rng.uniform(0.5, 2.0, (1, 1, 8, 8)), jnp.float32)
+
+    def loss(dn, dn1):
+        return jnp.sum(fused_comparison_quantize(dn, dn1, 16) ** 2)
+
+    g_dn, g_dn1 = jax.jit(jax.grad(loss, argnums=(0, 1)))(dn, dn1)
+    assert float(jnp.abs(g_dn).max()) == 0.0
+    assert float(jnp.abs(g_dn1).max()) == 0.0
