@@ -33,6 +33,9 @@ def build_parser():
     p.add_argument("--best_txt", type=str, default=None,
                    help="Write/update a best.txt with the results")
     p.add_argument("--decoders", type=int, nargs="+", default=[1])
+    p.add_argument("--linear_metrics", action="store_true",
+                   help="Score exp(final) instead of the log-space map "
+                        "(match a --linear_metrics training run)")
     p.add_argument("--platform", type=str, default=None,
                    choices=("cpu", "tpu"), help="Force jax backend")
     return p
@@ -64,7 +67,11 @@ def main(argv=None):
     if args.dataset == "synthetic":
         from md_rdm_tpu.data.synthetic import SyntheticDepthDataset
         n = args.num_images if args.num_images > 0 else 8
-        ds = SyntheticDepthDataset(args.split, size=n)
+        # correlated: rgb rendered from depth, matching the train CLI's
+        # synthetic sets (uncorrelated rgb would score a trained model
+        # as if untrained); val split seed matches cli/train.py
+        ds = SyntheticDepthDataset(args.split, size=n, seed=1,
+                                   correlated=True, cache=True)
     elif args.dataset == "nyu":
         from md_rdm_tpu.data.nyu import NYUDataset
         ds = NYUDataset(args.data_path, dataset_type=args.dataset_type,
@@ -91,8 +98,14 @@ def main(argv=None):
     print(f"restored checkpoint step {step}")
 
     predict = jax.jit(module.predict_step)
+    space = "linear" if args.linear_metrics else "faithful"
+
+    def _metric_pred(p):
+        return jnp.exp(p) if space == "linear" else p
+
     eval_metrics = jax.jit(
-        lambda p, t: compute_metrics(p, t, tuple(args.metrics)))
+        lambda p, t: compute_metrics(_metric_pred(p), t,
+                                     tuple(args.metrics)))
 
     acc = MetricAccumulator(args.metrics)
     grid = None
