@@ -1,5 +1,12 @@
 """Extended benchmark matrix (bench.py stays the single-line driver bench).
 
+WARNING - DISPATCH CLOCK: this suite times with block_until_ready, which
+the remote-TPU relay acknowledges without waiting for device execution
+(see PERF.md "ROUND-2 CORRECTION").  Its numbers are ONLY meaningful as
+relative compile/dispatch comparisons on the same shape; for honest
+device throughput and MFU use tools/true_bench.py (lax.scan-chained,
+scalar-fetch synced, overhead-differenced).
+
 Measures on the default backend (TPU):
   * forward throughput, live config (decoder 1), f32 vs bf16
   * full train-step throughput (fwd+bwd+adamw), batch 16
