@@ -118,9 +118,12 @@ def augment_batch(key: jax.Array, rgb: jnp.ndarray, depth: jnp.ndarray,
                   base_resize: float = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full train-time augmentation on device.
 
-    rgb: (B, H, W, 3) float [0,1]; depth: (B, 1, H, W).
-    Returns ((B, oh, ow, 3), (B, 1, oh, ow)).
+    rgb: (B, H, W, 3) float [0,1] or uint8 (wire format - normalized here
+    on device so the host->device transfer ships 1/4 the bytes);
+    depth: (B, 1, H, W).  Returns ((B, oh, ow, 3), (B, 1, oh, ow)).
     """
+    if jnp.issubdtype(rgb.dtype, jnp.integer):
+        rgb = rgb.astype(jnp.float32) * (1.0 / 255.0)
     b, h, w = rgb.shape[0], rgb.shape[1], rgb.shape[2]
     if base_resize is None:
         base_resize = 250.0 / min(h, w)

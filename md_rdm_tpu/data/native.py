@@ -98,6 +98,16 @@ def resize_u8_to_f32(src: np.ndarray, dh: int, dw: int,
     return out
 
 
+def resize_u8(src: np.ndarray, dh: int, dw: int) -> np.ndarray:
+    """(H, W, C) uint8 -> (dh, dw, C) uint8, bilinear (rounded).
+
+    Wire-format variant for the device-augment path: rgb stays uint8 until
+    the compiled train step normalizes it on device (1/4 the host->device
+    transfer bytes of float32)."""
+    f = resize_u8_to_f32(src, dh, dw, scale=1.0)
+    return np.clip(np.rint(f), 0, 255).astype(np.uint8)
+
+
 def resize_f32(src: np.ndarray, dh: int, dw: int) -> np.ndarray:
     """(H, W) float32 -> (dh, dw) float32, bilinear."""
     src = np.ascontiguousarray(src, np.float32)

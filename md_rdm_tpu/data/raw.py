@@ -35,9 +35,15 @@ class RawResizeDataset:
     DataLoader; otherwise a numpy path with identical sampling.
     """
 
-    def __init__(self, dataset, raw_hw: Tuple[int, int] = (250, 333)):
+    def __init__(self, dataset, raw_hw: Tuple[int, int] = (250, 333),
+                 keep_uint8: bool = False):
         self.dataset = dataset
         self.raw_hw = raw_hw
+        # wire-format option: ship rgb as uint8 (1/4 the bytes of f32) and
+        # normalize to [0,1] on device inside the compiled augment step -
+        # host->device batch transfer is the pipeline bound on tunneled
+        # TPU setups (PERF.md "Input pipeline")
+        self.keep_uint8 = keep_uint8
 
     def __len__(self):
         return len(self.dataset)
@@ -51,7 +57,11 @@ class RawResizeDataset:
         depth = np.asarray(depth, np.float32)
         th, tw = self.raw_hw
         rh, rw = _fill_size(rgb.shape[0], rgb.shape[1], th, tw)
-        rgb_f = _center_crop(native.resize_u8_to_f32(rgb, rh, rw), th, tw)
         depth_f = _center_crop(native.resize_f32(depth, rh, rw), th, tw)
-        return (np.ascontiguousarray(rgb_f),
+        if self.keep_uint8:
+            rgb_o = _center_crop(native.resize_u8(rgb, rh, rw), th, tw)
+        else:
+            rgb_o = _center_crop(native.resize_u8_to_f32(rgb, rh, rw),
+                                 th, tw)
+        return (np.ascontiguousarray(rgb_o),
                 np.ascontiguousarray(depth_f))

@@ -22,6 +22,38 @@ def test_raw_resize_dataset_fixed_shapes():
     assert 0.0 <= rgb.min() and rgb.max() <= 1.0
 
 
+def test_uint8_wire_format_matches_float():
+    """RawResizeDataset(keep_uint8) + device-side normalization gives the
+    same augmented batch as the float32 wire path (within u8 rounding)."""
+    from md_rdm_tpu.data.augment import augment_batch
+
+    rng = np.random.default_rng(5)
+    rgb = rng.random((2, 250, 333, 3)).astype(np.float32)
+    rgb_u8 = np.clip(np.rint(rgb * 255), 0, 255).astype(np.uint8)
+    dep = rng.uniform(1, 9, (2, 1, 250, 333)).astype(np.float32)
+
+    key = jax.random.PRNGKey(3)
+    xf, yf = augment_batch(key, jnp.asarray(rgb_u8.astype(np.float32) / 255),
+                           jnp.asarray(dep))
+    xu, yu = augment_batch(key, jnp.asarray(rgb_u8), jnp.asarray(dep))
+    np.testing.assert_allclose(np.asarray(xu), np.asarray(xf), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(yu), np.asarray(yf), atol=1e-6)
+
+    # dataset-level: u8 output approximates the f32 output to 1/255
+    ds_f = RawResizeDataset(SyntheticDepthDataset("train", size=1,
+                                                  output_size=(480, 640)),
+                            raw_hw=(250, 333))
+    ds_u = RawResizeDataset(SyntheticDepthDataset("train", size=1,
+                                                  output_size=(480, 640)),
+                            raw_hw=(250, 333), keep_uint8=True)
+    rf, df = ds_f[0]
+    ru, du = ds_u[0]
+    assert ru.dtype == np.uint8
+    np.testing.assert_allclose(ru.astype(np.float32) / 255.0, rf,
+                               atol=1.0 / 255.0 + 1e-6)
+    np.testing.assert_allclose(du, df)
+
+
 def test_device_augment_distribution_matches_host_recipe():
     """Distribution-level parity of the device augment vs the host recipe
     (VERDICT r1 weak #6): the two backends deviate in resampling details
