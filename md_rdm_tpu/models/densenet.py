@@ -35,14 +35,19 @@ class DenseLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # BN statistics/params stay float32; the normalized output is cast
+        # to the compute dtype BEFORE relu/conv so every tensor between
+        # BN and conv is half-width in bf16 mode (the conv already casts
+        # internally, so this mainly narrows the relu and keeps fusions
+        # uniform; measured ~3% logical-byte reduction).
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
-        h = nn.relu(h)
+        h = nn.relu(h.astype(self.dtype))
         h = nn.Conv(self.bn_size * self.growth_rate, (1, 1), use_bias=False,
                     dtype=self.dtype, name="conv1")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32, name="norm2")(h)
-        h = nn.relu(h)
+        h = nn.relu(h.astype(self.dtype))
         h = nn.Conv(self.growth_rate, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv2")(h)
         return h
@@ -84,7 +89,7 @@ class Transition(nn.Module):
     def __call__(self, x, train: bool = False):
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32, name="norm")(x)
-        h = nn.relu(h)
+        h = nn.relu(h.astype(self.dtype))   # see DenseLayer dtype note
         h = nn.Conv(self.num_output_features, (1, 1), use_bias=False,
                     dtype=self.dtype, name="conv")(h)
         h = nn.avg_pool(h, (2, 2), strides=(2, 2))

@@ -16,6 +16,11 @@ which cancels dispatch latency, scalar-fetch round trip, and any constant
 relay overhead.  Reports per-iter time, images/sec, and MFU from XLA's
 cost model (validated exact on the calibration matmul).
 
+Cost-model caveat: "bytes accessed" sums logical per-op accesses and is
+blind to fusion, so derived HBM-bandwidth percentages are UPPER BOUNDS on
+real traffic (the f32 train step's logical bytes would imply 110% of the
+physical peak).  FLOP counts have no such issue.
+
 Usage: python tools/true_bench.py [--batch 16] [--k 16] [--sections ...]
 """
 from __future__ import annotations
@@ -58,14 +63,20 @@ def _setup():
         pass
 
 
-def flops_of(jitted, *a):
+def cost_of(jitted, *a):
+    """(flops, bytes accessed) from XLA's cost model."""
     try:
         ca = jitted.lower(*a).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        return float(ca.get("flops", 0.0))
+        return (float(ca.get("flops", 0.0)),
+                float(ca.get("bytes accessed", 0.0)))
     except Exception:
-        return 0.0
+        return 0.0, 0.0
+
+
+def flops_of(jitted, *a):
+    return cost_of(jitted, *a)[0]
 
 
 def measure_forward(batch: int = 16, k_lo: int = 4, k_hi: int = 16,
@@ -209,10 +220,13 @@ def main():
         record(f"{tag}_img_per_s", round(bb / dt, 1))
 
         step1 = jax.jit(lambda s, xx, yy: module.train_step(s, tx, xx, yy))
-        fl = flops_of(step1, state0, xx_, yy_)
+        fl, byt = cost_of(step1, state0, xx_, yy_)
         if fl:
             record(f"{tag}_gflops", round(fl / 1e9, 1))
             record(f"{tag}_mfu_pct", round(100 * fl / dt / V5E_PEAK_FLOPS, 1))
+        if byt:
+            record(f"{tag}_gbytes", round(byt / 1e9, 2))
+            record(f"{tag}_hbm_pct", round(100 * byt / dt / V5E_PEAK_BYTES, 1))
 
     if "train" in args.sections:
         bench_train("train_step", (1,))
