@@ -47,6 +47,32 @@ def test_evaluate_cli_end_to_end(tmp_path):
     assert "delta1=" in best.read_text()
 
 
+def test_predictor_from_checkpoint(tmp_path):
+    """Inference API: checkpoint -> Predictor -> positive relative depth."""
+    from md_rdm_tpu.inference import Predictor
+    from md_rdm_tpu.training.checkpoint import CheckpointManager
+    from md_rdm_tpu.training.module import DepthTrainer
+    from md_rdm_tpu.training.optim import make_optimizer
+
+    cfg = Config(model=ModelConfig(decoder_ids=(1,)),
+                 train=TrainConfig(metrics=("delta1",)))
+    module = DepthTrainer(cfg)
+    tx = make_optimizer(1e-4)
+    x, _ = _synthetic_batch(b=1)
+    state = module.init(jax.random.PRNGKey(0), tx, jnp.asarray(x))
+    ckdir = tmp_path / "ck"
+    mgr = CheckpointManager(str(ckdir), monitor="delta1")
+    mgr.save(0, jax.device_get(state), {"delta1": 0.1})
+    mgr.close()
+
+    pred = Predictor.from_checkpoint(str(ckdir))
+    final, ord_depth = pred(x)
+    assert final.shape == (1, 1, 128, 128)
+    assert ord_depth.shape == (1, 1, 8, 8)
+    rel = pred.relative_depth(x)
+    assert (rel > 0).all() and np.isfinite(rel).all()
+
+
 def test_find_learning_rate_range(tmp_path):
     from md_rdm_tpu.cli.train import find_learning_rate
     from md_rdm_tpu.training.loop import Trainer

@@ -80,8 +80,8 @@ def flops_of(jitted, *a):
 
 
 def measure_forward(batch: int = 16, k_lo: int = 4, k_hi: int = 16,
-                    dtype: str = "float32"):
-    """(seconds per forward, flops per forward) for the live config,
+                    dtype: str = "float32", decoder_ids=(1,)):
+    """(seconds per forward, flops per forward) for the given decoder set,
     scan-chained + overhead-differenced (see module docstring)."""
     _setup()
     import numpy as np
@@ -94,7 +94,7 @@ def measure_forward(batch: int = 16, k_lo: int = 4, k_hi: int = 16,
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((batch, 226, 226, 3)), jnp.float32)
     model = DepthEstimationNet(
-        ModelConfig(decoder_ids=(1,), compute_dtype=dtype))
+        ModelConfig(decoder_ids=tuple(decoder_ids), compute_dtype=dtype))
     variables = jax.device_put(
         model.init(jax.random.PRNGKey(0), x[:1], train=False),
         jax.devices()[0])
@@ -127,7 +127,7 @@ def main():
     ap.add_argument("--sections", nargs="*",
                     default=["calib", "fwd", "train", "train_opt"],
                     choices=["calib", "fwd", "train", "train_opt",
-                             "pallas", "remat"])
+                             "pallas", "remat", "train_opt_bf16", "fwd_opt"])
     args = ap.parse_args()
 
     _setup()
@@ -233,6 +233,18 @@ def main():
         bench_train("train_step_bf16", (1,), dtype="bfloat16")
     if "train_opt" in args.sections:
         bench_train("train_step_opt_set", (1, 6, 7, 8, 9))
+    if "train_opt_bf16" in args.sections:
+        bench_train("train_step_opt_set_bf16", (1, 6, 7, 8, 9),
+                    dtype="bfloat16")
+    if "fwd_opt" in args.sections:
+        dt, fl = measure_forward(b, k_lo, k_hi,
+                                 decoder_ids=(1, 6, 7, 8, 9))
+        record("forward_opt_set_ms", round(dt * 1e3, 3))
+        record("forward_opt_set_img_per_s", round(b / dt, 1))
+        if fl:
+            record("forward_opt_set_gflops", round(fl / 1e9, 1))
+            record("forward_opt_set_mfu_pct",
+                   round(100 * fl / dt / V5E_PEAK_FLOPS, 1))
     if "remat" in args.sections:
         # round-1 claimed remat FASTER at batch 64 (dispatch clock);
         # re-measure honestly in the bf16 training configuration
