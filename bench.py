@@ -34,17 +34,24 @@ def main():
         os.path.dirname(os.path.abspath(__file__)), "tools"))
     from true_bench import V5E_PEAK_FLOPS, measure_forward
 
-    dt, flops = measure_forward(BATCH, k_lo=4, k_hi=16)
-    ips = BATCH / dt
+    # primary: bfloat16, the framework's (and the reference's, train.py:11
+    # AMP-16) default precision; float32 - the parity/verification dtype -
+    # reported alongside.  bf16 accuracy deltas are characterized in
+    # PERF.md (ordinal probs <=3.3e-4 off f32).
+    dt16, flops16 = measure_forward(BATCH, k_lo=4, k_hi=16,
+                                    dtype="bfloat16")
+    dt32, _ = measure_forward(BATCH, k_lo=4, k_hi=16, dtype="float32")
+    ips = BATCH / dt16
     out = {
         "metric": "nyu_depth_maps_per_sec_per_chip_b16",
         "value": round(ips, 2),
         "unit": "images/sec",
         "vs_baseline": round(ips / TORCH_CPU_IMAGES_PER_SEC, 1),
+        "f32_img_per_s": round(BATCH / dt32, 2),
     }
-    if flops:
-        out["mfu_pct"] = round(100 * flops / dt / V5E_PEAK_FLOPS, 2)
-        out["gflops_per_image"] = round(flops / BATCH / 1e9, 1)
+    if flops16:
+        out["mfu_pct"] = round(100 * flops16 / dt16 / V5E_PEAK_FLOPS, 2)
+        out["gflops_per_image"] = round(flops16 / BATCH / 1e9, 1)
     print(json.dumps(out))
 
 
