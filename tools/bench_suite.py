@@ -52,14 +52,17 @@ def xla_cost(jitted, *args):
 
 
 def roofline(record, name, jitted, dt, *args):
-    """Record MFU + HBM-bandwidth utilization + arithmetic intensity."""
+    """Record cost-model flops/bytes + arithmetic intensity.
+
+    NO MFU/HBM%% here: this suite's dt is the dispatch clock (see module
+    docstring), so utilization ratios derived from it are meaningless -
+    use tools/true_bench.py for those.
+    """
     flops, byt = xla_cost(jitted, *args)
     if not flops:
         return
     record(f"{name}_gflops", round(flops / 1e9, 2))
     record(f"{name}_gbytes", round(byt / 1e9, 3))
-    record(f"{name}_mfu_pct", round(100 * flops / dt / V5E_PEAK_FLOPS, 2))
-    record(f"{name}_hbm_pct", round(100 * byt / dt / V5E_PEAK_BYTES, 2))
     record(f"{name}_flops_per_byte", round(flops / max(byt, 1.0), 1))
 
 
