@@ -30,6 +30,37 @@ def test_param_group_optimizer_lr_split():
     np.testing.assert_allclose(lrs, [1e-5, 1e-4], rtol=1e-6)
 
 
+def test_seed_reproducibility(tmp_path):
+    """Two Trainers with the same seed produce bitwise-identical first-step
+    losses and parameters (SURVEY.md section 5: explicit PRNG threading
+    replaces pl.seed_everything)."""
+    from md_rdm_tpu.training.loop import Trainer
+
+    rng = np.random.default_rng(0)
+    x = rng.random((2, 226, 226, 3)).astype(np.float32)
+    y = (rng.random((2, 1, 226, 226)).astype(np.float32) * 9 + 0.5)
+
+    def one_step(sub):
+        cfg = Config(
+            model=ModelConfig(decoder_ids=(1,)),
+            train=TrainConfig(metrics=("mse",), seed=123, data_parallel=1,
+                              checkpoint_dir=str(tmp_path / sub)))
+        tr = Trainer(cfg, workdir=str(tmp_path / sub))
+        state = tr.init_state(x[:1])
+        xd, yd = tr._put(x, y)
+        state, logs = tr._train_step(state, xd, yd)
+        loss = float(jax.device_get(logs["loss"]))
+        leaf = np.asarray(jax.device_get(
+            jax.tree_util.tree_leaves(state.params)[0]))
+        tr.ckpt.close()
+        return loss, leaf
+
+    l1, p1 = one_step("a")
+    l2, p2 = one_step("b")
+    assert l1 == l2
+    np.testing.assert_array_equal(p1, p2)
+
+
 def test_trainer_fit_dev_mode(tmp_path):
     from md_rdm_tpu.data.base import DataLoader
     from md_rdm_tpu.data.synthetic import SyntheticDepthDataset
