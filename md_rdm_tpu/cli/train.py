@@ -123,8 +123,10 @@ def make_datasets(args):
         # spatial/color recipe runs inside the compiled train step
         from md_rdm_tpu.data.raw import RawResizeDataset
         hw = (250, 333) if args.dataset in ("nyu", "synthetic") else (250, 444)
-        # uint8 wire format: rgb ships as u8 and is normalized on device
-        train_ds = RawResizeDataset(train_ds, raw_hw=hw, keep_uint8=True)
+        # uint8 wire format: rgb ships as u8 and is normalized on device;
+        # cache the deterministic standardization for the synthetic set
+        train_ds = RawResizeDataset(train_ds, raw_hw=hw, keep_uint8=True,
+                                    cache=args.dataset == "synthetic")
 
     train_loader = DataLoader(train_ds, args.batch_size, shuffle=True,
                               num_workers=args.worker, drop_last=True)

@@ -36,7 +36,7 @@ class RawResizeDataset:
     """
 
     def __init__(self, dataset, raw_hw: Tuple[int, int] = (250, 333),
-                 keep_uint8: bool = False):
+                 keep_uint8: bool = False, cache: bool = False):
         self.dataset = dataset
         self.raw_hw = raw_hw
         # wire-format option: ship rgb as uint8 (1/4 the bytes of f32) and
@@ -44,11 +44,17 @@ class RawResizeDataset:
         # host->device batch transfer is the pipeline bound on tunneled
         # TPU setups (PERF.md "Input pipeline")
         self.keep_uint8 = keep_uint8
+        # standardization is deterministic, so small datasets can cache the
+        # resized samples (the 1-core host otherwise re-resizes every
+        # sample every epoch: ~583 KB/sample at (250,333) u8+f32)
+        self._cache = {} if cache else None
 
     def __len__(self):
         return len(self.dataset)
 
     def __getitem__(self, index: int):
+        if self._cache is not None and index in self._cache:
+            return self._cache[index]
         rgb, depth = self.dataset.get_raw(index)
         rgb = np.asarray(rgb)
         if rgb.dtype != np.uint8:
@@ -63,5 +69,8 @@ class RawResizeDataset:
         else:
             rgb_o = _center_crop(native.resize_u8_to_f32(rgb, rh, rw),
                                  th, tw)
-        return (np.ascontiguousarray(rgb_o),
+        item = (np.ascontiguousarray(rgb_o),
                 np.ascontiguousarray(depth_f))
+        if self._cache is not None:
+            self._cache[index] = item
+        return item
