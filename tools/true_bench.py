@@ -249,7 +249,7 @@ def main():
         # round-1 claimed remat FASTER at batch 64 (dispatch clock);
         # re-measure honestly in the bf16 training configuration
         bench_train("train_b64_remat", (1,), dtype="bfloat16", batch=64)
-        bench_train("train_b64_norematt", (1,), dtype="bfloat16",
+        bench_train("train_b64_noremat", (1,), dtype="bfloat16",
                     remat=False, batch=64)
 
     if "pallas" in args.sections:
