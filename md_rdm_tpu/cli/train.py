@@ -236,6 +236,7 @@ def main(argv=None):
     if args.profile:
         import jax
         jax.profiler.stop_trace()
+    return state
 
 
 if __name__ == "__main__":

@@ -47,6 +47,21 @@ def test_evaluate_cli_end_to_end(tmp_path):
     assert "delta1=" in best.read_text()
 
 
+def test_train_cli_resume(tmp_path):
+    """--resume restores the best checkpoint and continues training
+    (reference legacy --resume, main.py:126-148)."""
+    from md_rdm_tpu.cli.train import main as train_main
+
+    common = ["--dataset", "synthetic", "--dev", "--precision", "32",
+              "--batch_size", "2", "--seed", "0",
+              "--workdir", str(tmp_path)]
+    state1 = train_main(common)
+    assert int(jax.device_get(state1.step)) == 1       # dev: 1 step
+    state2 = train_main(common + ["--resume", "latest"])
+    # restored step-1 state, then one more dev step
+    assert int(jax.device_get(state2.step)) == 2
+
+
 def test_predictor_from_checkpoint(tmp_path):
     """Inference API: checkpoint -> Predictor -> positive relative depth."""
     from md_rdm_tpu.inference import Predictor
