@@ -26,8 +26,14 @@ def build_parser():
     p.add_argument("--split", default="val", choices=("val", "test"))
     p.add_argument("--metrics", nargs="+",
                    default=["delta1", "delta2", "delta3", "mse", "mae",
-                            "log10", "rmse", "absrel"])
+                            "log10", "rmse", "absrel", "berhu"],
+                   help="Metric names; 'mae' is the masked-L1 criterion "
+                        "(criteria.MaskedL1Loss), 'berhu' the legacy "
+                        "berHuLoss (main.py:169)")
     p.add_argument("--num_images", type=int, default=-1)
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="Eval batch size (the reference evaluates at 1; "
+                        "larger batches amortize dispatch)")
     p.add_argument("--grid_out", type=str, default=None,
                    help="Write a comparison image grid (every len/9 samples)")
     p.add_argument("--best_txt", type=str, default=None,
@@ -69,8 +75,11 @@ def main(argv=None):
         n = args.num_images if args.num_images > 0 else 8
         # correlated: rgb rendered from depth, matching the train CLI's
         # synthetic sets (uncorrelated rgb would score a trained model
-        # as if untrained); val split seed matches cli/train.py
-        ds = SyntheticDepthDataset(args.split, size=n, seed=1,
+        # as if untrained).  Seed is split-derived: val matches
+        # cli/train.py's val split (seed 1); test gets distinct samples
+        # (seed 2) so --split test doesn't silently re-score validation.
+        ds = SyntheticDepthDataset(args.split, size=n,
+                                   seed={"val": 1, "test": 2}[args.split],
                                    correlated=True, cache=True)
     elif args.dataset == "nyu":
         from md_rdm_tpu.data.nyu import NYUDataset
@@ -87,7 +96,7 @@ def main(argv=None):
         from md_rdm_tpu.data.structured3d import Structured3DDataset
         ds = Structured3DDataset(args.data_path, split=args.split)
 
-    loader = DataLoader(ds, 1, shuffle=False)
+    loader = DataLoader(ds, args.batch_size, shuffle=False)
 
     tx = make_optimizer(config.train.learning_rate)
     x0, _ = ds[0]
@@ -115,8 +124,10 @@ def main(argv=None):
         yd = mask_target(resize_bicubic(jnp.asarray(y), 128))
         pred = predict(state, xd)
         logs = jax.device_get(eval_metrics(pred, normalize_gm(yd)))
-        acc.update(logs)
-        if args.grid_out and i % grid_every == 0:
+        # weight by real batch size so a short tail batch counts its
+        # samples once, matching the trainer's weighted eval accumulation
+        acc.update(logs, weight=x.shape[0])
+        if args.grid_out and (i * args.batch_size) % grid_every == 0:
             row = viz.merge_into_row(
                 np.asarray(x[0]),
                 np.asarray(normalize_gm(yd))[0, 0],

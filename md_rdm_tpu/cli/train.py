@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Enable jax_debug_nans")
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--eval_batch_size", type=int, default=1,
+                   help="Validation batch size (reference module.py:24-28 "
+                        "evaluates at 1; larger batches amortize dispatch "
+                        "and fill the mesh - padded tails are masked out "
+                        "of the metrics)")
     p.add_argument("--nyu_path", type=str, default=None,
                    help="Path to NYU data set")
     p.add_argument("--dataset", type=str, default="nyu",
@@ -130,7 +135,8 @@ def make_datasets(args):
 
     train_loader = DataLoader(train_ds, args.batch_size, shuffle=True,
                               num_workers=args.worker, drop_last=True)
-    val_loader = DataLoader(val_ds, 1, shuffle=False, num_workers=1)
+    val_loader = DataLoader(val_ds, args.eval_batch_size, shuffle=False,
+                            num_workers=1)
     return train_loader, val_loader
 
 
@@ -190,6 +196,7 @@ def main(argv=None):
                         dataset_type=args.dataset_type,
                         path=args.nyu_path or args.data_path,
                         batch_size=args.batch_size,
+                        eval_batch_size=args.eval_batch_size,
                         num_workers=args.worker,
                         augment_backend=args.augment,
                         download=args.download),
@@ -209,6 +216,18 @@ def main(argv=None):
     train_loader, val_loader = make_datasets(args)
     trainer = Trainer(config, workdir=args.workdir)
 
+    if args.find_learning_rate:
+        pass  # the LR sweep does its own stepping; no warmup pre-pass
+    else:
+        # pre-compile both step executables (init-layout + donated-layout)
+        # BEFORE the real state exists: peak HBM stays at one state's
+        # footprint and epoch 0 runs at steady-state speed from step 0
+        import time as _time
+        xw, yw = next(iter(train_loader))
+        t0 = _time.perf_counter()
+        trainer.warmup(xw, yw)
+        print(f"warmup (compile) done in {_time.perf_counter() - t0:.1f}s")
+
     x0, _ = next(iter(val_loader))
     state = trainer.init_state(x0)
     if args.resume:
@@ -222,14 +241,6 @@ def main(argv=None):
         print(f"Old learning rate: {args.learning_rate}")
         print(f"Suggested learning rate: {suggested}")
         return
-
-    # pre-compile both step executables (init-layout + donated-layout) so
-    # epoch 0 runs at steady-state speed from the first step
-    import time as _time
-    xw, yw = next(iter(train_loader))
-    t0 = _time.perf_counter()
-    trainer.warmup(state, xw, yw)
-    print(f"warmup (compile) done in {_time.perf_counter() - t0:.1f}s")
 
     state = trainer.fit(state, train_loader, val_loader)
 

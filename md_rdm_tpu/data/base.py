@@ -73,10 +73,16 @@ class ConcatDataset:
         self.indices = np.concatenate(
             [np.full(len(d), i) for i, d in enumerate(self.datasets)])
         rng.shuffle(self.indices)
+        # precomputed per-position item index (O(1) __getitem__; the naive
+        # "count equal members before i" rescan is quadratic per epoch)
+        self.item_indices = np.empty(len(self.indices), np.int64)
+        for d in range(len(self.datasets)):
+            pos = np.flatnonzero(self.indices == d)
+            self.item_indices[pos] = np.arange(len(pos))
 
     def __getitem__(self, i: int) -> Sample:
         ds_idx = self.indices[i]
-        item_index = int((self.indices[:i] == ds_idx).sum())
+        item_index = int(self.item_indices[i])
         ds = self.datasets[ds_idx]
         if self.transform is None:
             return ds[item_index]

@@ -120,6 +120,21 @@ class NYUDataset(BaseDataset):
             self.images = np.hstack(
                 scipy.io.loadmat(split_file)[key]) - 1
             self._mat_handle = None
+            # 894-class -> 40-class label map (nyu_dataloader.py:143,166):
+            # index 0 prepended so raw label 0 (unlabeled) maps to 0.  Used
+            # by the label-masked dataset types and labels_40().
+            mapping_file = root / "classMapping40.mat"
+            if download and not mapping_file.exists():
+                _download(mapping_file, URLS["mapping40"])
+            self.mapping40 = None
+            if mapping_file.exists():
+                self.mapping40 = np.insert(
+                    scipy.io.loadmat(mapping_file)["mapClass"][0], 0, 0)
+            if (("no_mirror" in dataset_type or "no_window" in dataset_type)
+                    and self.mapping40 is None):
+                raise RuntimeError(
+                    f"dataset type {dataset_type} needs classMapping40.mat "
+                    f"under {root} (pass download=True to fetch it)")
 
         if len(self.images) == 0:
             raise RuntimeError(f"found 0 images under {path}")
@@ -158,7 +173,29 @@ class NYUDataset(BaseDataset):
         if self.use_corrected_depth and np.max(depth) == 0:
             depth = np.transpose(data["depths"][index], (1, 0))
         rgb = np.transpose(data["images"][index], (2, 1, 0))
+        # working form of the reference's sketched label masking
+        # (nyu_dataloader.py:194-203): zero out mirror (class 19) and/or
+        # window (class 9) depths so those pixels fall out of the masked
+        # losses/metrics (target > 0)
+        if "no_mirror" in self.dataset_type or "no_window" in self.dataset_type:
+            labels_40 = self.labels_40(index)
+            depth = depth.copy()
+            if "no_mirror" in self.dataset_type:
+                depth[labels_40 == 19] = 0.0
+            if "no_window" in self.dataset_type:
+                depth[labels_40 == 9] = 0.0
         return rgb, depth
+
+    def labels_40(self, index: int) -> np.ndarray:
+        """Per-pixel 40-class semantic labels for a mat-backend image
+        (nyu_dataloader.py:217-219)."""
+        if self.mapping40 is None:
+            raise RuntimeError("classMapping40.mat not available")
+        if self._mat_handle is None:
+            import h5py
+            self._mat_handle = h5py.File(self.mat_file, "r")
+        labels = np.transpose(self._mat_handle["labels"][index], (1, 0))
+        return self.mapping40[labels]
 
     # ------------------------------------------------------- preprocessing ---
     def training_preprocess(self, rgb, depth):

@@ -66,6 +66,22 @@ def compute_metrics(pred: jnp.ndarray, target: jnp.ndarray,
                 jnp.sqrt((pred - safe_t) ** 2 / safe_t), mask)
         elif name == "rms":    # standard RMSE
             out[name] = jnp.sqrt(_masked_mean((pred - safe_t) ** 2, mask))
+        elif name == "berhu":
+            # criteria.berHuLoss scored as a metric (the legacy loop's
+            # criterion, main.py:169 + criteria.py:37): c is 0.2 * max of
+            # the raw residual over all (weight-valid) pixels, the
+            # concat-mean over |d| on valid pixels plus d^2 on the >c
+            # subset.  Matches losses.berhu_loss when sample_weight is None.
+            vw = (jnp.ones_like(mask) if sample_weight is None
+                  else jnp.broadcast_to(
+                      sample_weight.reshape(
+                          (-1,) + (1,) * (target.ndim - 1)) > 0, mask.shape))
+            c = 0.2 * jnp.max(jnp.where(vw, pred - target, -jnp.inf))
+            diff = jnp.where(mask, jnp.abs(pred - safe_t), 0.0)
+            over = mask & (diff > c)
+            total = jnp.sum(diff) + jnp.sum(jnp.where(over, diff * diff, 0.0))
+            out[name] = total / jnp.maximum(
+                jnp.sum(mask) + jnp.sum(over), 1)
         else:
             raise ValueError(f"unknown metric {name}")
     return out

@@ -34,14 +34,13 @@ Dtype = Any
 class WSMLayer(nn.Module):
     """One WSM cascade stage: in_channels at SxS -> in_channels at 2Sx2S.
 
-    ``raw_channels`` is the incoming channel count before the 1x1 input
-    adjustment (2208 for the first stage, 2*in_channels after -
-    RDM_Net.py:194-200).
+    The incoming channel count (2208 for the first stage, 2*in_channels
+    after - RDM_Net.py:194-200) is inferred by the 1x1 input adjustment;
+    it needs no explicit field.
     """
 
     in_channels: int
     strip_size: int      # spatial size after the deconv (= kernel_size arg)
-    raw_channels: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -100,12 +99,10 @@ class WSMCascade(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        raw = 2208
         for i in range(self.num_layers):
             ch, size = WSM_STAGES[i]
-            x = WSMLayer(ch, size, raw, dtype=self.dtype,
+            x = WSMLayer(ch, size, dtype=self.dtype,
                          name=f"WSM_{i + 1}")(x)
-            raw = 2 * ch
         return x
 
 

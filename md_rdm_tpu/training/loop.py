@@ -12,6 +12,7 @@ gradient psum over ICI automatically - no hand-written collectives
 """
 from __future__ import annotations
 
+import threading
 import time
 from pathlib import Path
 from typing import Dict, Iterable, Optional, Tuple
@@ -94,26 +95,35 @@ class Trainer:
         state = self.module.init(rng, self.tx, jnp.asarray(sample_x))
         return replicate(self.mesh, state)
 
-    def warmup(self, state: TrainState, sample_x: np.ndarray,
-               sample_y: np.ndarray) -> None:
+    def warmup(self, sample_x: np.ndarray, sample_y: np.ndarray) -> None:
         """Pre-compile BOTH train-step executables before epoch 0.
 
         The step donates its state argument; the donated output's buffer
         layout can differ from the init-produced layout, so the second call
         of a fresh run hits a different executable than the first (a ~2 min
-        reload observed on the TPU relay).  Running two throwaway steps on a
-        cloned state caches both, so real training holds steady-state speed
-        from step 0.  The clone keeps the real state's buffers intact.
+        reload observed on the TPU relay).  Running two throwaway steps
+        caches both, so real training holds steady-state speed from step 0.
+
+        The throwaway state comes from a fresh init (NOT a clone of the
+        live state), and warmup is intended to run *before* ``init_state``:
+        peak HBM then never exceeds one state's footprint, so memory-tight
+        configs that fit during training also survive warmup.  The final
+        donated buffers are deleted explicitly on exit.
         """
-        clone = jax.tree_util.tree_map(jnp.copy, state)
+        throwaway = self.module.init(
+            jax.random.PRNGKey(0), self.tx,
+            jnp.asarray(np.asarray(sample_x)[:1]))
+        throwaway = replicate(self.mesh, throwaway)
         xd, yd = self._put(np.asarray(sample_x), np.asarray(sample_y))
         for _ in range(2):
             if self._device_augment:
-                clone, logs = self._train_step_aug(
-                    clone, xd, yd, jax.random.PRNGKey(0))
+                throwaway, logs = self._train_step_aug(
+                    throwaway, xd, yd, jax.random.PRNGKey(0))
             else:
-                clone, logs = self._train_step(clone, xd, yd)
+                throwaway, logs = self._train_step(throwaway, xd, yd)
         jax.block_until_ready(logs)
+        jax.tree_util.tree_map(
+            lambda a: a.delete() if hasattr(a, "delete") else None, throwaway)
 
     def restore(self, state_template: TrainState) -> Tuple[int, TrainState]:
         step, state, extra = self.ckpt.restore(state_template)
@@ -133,6 +143,52 @@ class Trainer:
         return jax.device_put(jnp.asarray(x), s), jax.device_put(
             jnp.asarray(y), s)
 
+    def _prefetch_put(self, loader, depth: int = 2):
+        """Iterate ``loader`` with host->device transfer one batch ahead.
+
+        ``jax.device_put`` of a numpy batch blocks the calling thread for
+        the wire time (~5 ms/MB measured through the TPU relay); issuing it
+        from a background thread while the main thread dispatches step N
+        hides the transfer of batch N+1 behind device compute - the
+        double-buffering role of the reference's pin_memory+workers
+        (module.py:19-28).  Yields (xd, yd, real_batch) with xd/yd already
+        batch-sharded on the mesh.
+        """
+        import queue
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                for x, y in loader:
+                    if stop.is_set():
+                        return
+                    x = np.asarray(x)
+                    b_real = x.shape[0]
+                    xd, yd = self._put(x, np.asarray(y))
+                    q.put((xd, yd, b_real))
+                q.put(None)
+            except BaseException as e:              # surface loader errors
+                q.put(("__error__", e))
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, tuple) and item[0] == "__error__":
+                    raise item[1]
+                yield item
+        finally:
+            stop.set()
+            while not q.empty():    # unblock the producer, drop buffers
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+
     def train_epoch(self, state: TrainState, loader: Iterable,
                     epoch: int) -> Tuple[TrainState, Dict[str, float]]:
         """One training epoch.
@@ -150,12 +206,11 @@ class Trainer:
         t_first_done = None
         t_epoch0 = time.perf_counter()
         num_steps = 0
-        for i, (x, y) in enumerate(loader):
+        for i, (xd, yd, _b) in enumerate(self._prefetch_put(loader)):
             if cfg.overfit:
                 if fixed_batch is None:
-                    fixed_batch = (x, y)
-                x, y = fixed_batch
-            xd, yd = self._put(x, y)
+                    fixed_batch = (xd, yd)    # device-resident, reused
+                xd, yd = fixed_batch
             if self._device_augment:
                 self._aug_key, sub = jax.random.split(self._aug_key)
                 state, logs = self._train_step_aug(state, xd, yd, sub)
@@ -190,9 +245,7 @@ class Trainer:
         cfg = self.config.train
         acc = MetricAccumulator(list(cfg.metrics))
         logs_hist = []
-        for i, (x, y) in enumerate(loader):
-            b_real = x.shape[0]
-            xd, yd = self._put(x, y)
+        for i, (xd, yd, b_real) in enumerate(self._prefetch_put(loader)):
             # weight vector: 1 for real rows, 0 for the shardability padding
             w = np.zeros(xd.shape[0], np.float32)
             w[:b_real] = 1.0
@@ -207,14 +260,30 @@ class Trainer:
     def fit(self, state: TrainState, train_loader: Iterable,
             val_loader: Iterable) -> TrainState:
         cfg = self.config.train
-        # Lightning semantics (reference train.py:15,51): train for at
-        # least min_epochs even if max_epochs is set lower.
-        n_epochs = max(cfg.max_epochs, cfg.min_epochs)
-        for epoch in range(n_epochs):
+        # Lightning semantics (reference train.py:15,51): max_epochs bounds
+        # training; min_epochs only defers early stopping (none here), so
+        # min_epochs > max_epochs still trains max_epochs.
+        if cfg.min_epochs > cfg.max_epochs:
+            import warnings
+            warnings.warn(
+                f"min_epochs={cfg.min_epochs} > max_epochs={cfg.max_epochs}:"
+                " max_epochs bounds training (Lightning semantics)")
+        for epoch in range(cfg.max_epochs):
             state, train_metrics = self.train_epoch(state, train_loader, epoch)
             val_metrics = self.eval_epoch(state, val_loader, epoch)
             self.logger.log(epoch, train_metrics, prefix="epoch_train_")
             self.logger.log(epoch, val_metrics, prefix="val_")
+
+            # fusion-weight slot tracking (optimal-set learning runs):
+            # the weight vectors are tiny (<= 8 slots x 5), so logging them
+            # per epoch is free and shows whether the relative decoders'
+            # candidates engage (their slots move away from |N(0,1)| init)
+            wl = state.params.get("weight_layer")
+            if wl:
+                flat = {f"w_{k}[{i}]": float(v)
+                        for k, vec in sorted(jax.device_get(wl).items())
+                        for i, v in enumerate(np.asarray(vec).ravel())}
+                self.logger.log(epoch, flat, prefix="fusion_")
 
             monitored = val_metrics[cfg.monitor]
             lr = get_lr(state.opt_state)

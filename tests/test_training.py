@@ -178,9 +178,13 @@ def test_eval_epoch_padded_equals_unpadded(tmp_path):
     tr1.ckpt.close()
 
 
-def test_min_epochs_honored(tmp_path):
-    """fit runs at least min_epochs even when max_epochs is lower
-    (reference train.py:15 passes min_epochs to Lightning)."""
+def test_max_epochs_bounds_training(tmp_path):
+    """Lightning semantics (reference train.py:15,51): max_epochs bounds
+    training even when min_epochs is larger - min_epochs only defers early
+    stopping, which this loop does not implement.  A warning flags the
+    inconsistent configuration."""
+    import warnings as _warnings
+
     from md_rdm_tpu.training.loop import Trainer
 
     cfg = Config(
@@ -193,8 +197,11 @@ def test_min_epochs_honored(tmp_path):
     train_loader = [(x, y)]
     val_loader = [(x[:1], y[:1])]
     state = trainer.init_state(x[:1])
-    state = trainer.fit(state, train_loader, val_loader)
-    assert int(jax.device_get(state.step)) == 3   # 1 step/epoch x 3 epochs
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        state = trainer.fit(state, train_loader, val_loader)
+    assert int(jax.device_get(state.step)) == 1   # bounded by max_epochs
+    assert any("max_epochs" in str(w.message) for w in caught)
     trainer.ckpt.close()
 
 

@@ -168,7 +168,7 @@ def test_wsm_layer_activation_parity():
     x = torch.randn(1, raw, size // 2, size // 2)
     with torch.no_grad():
         want = tw(x).numpy()
-    fl = WSMLayer(c, size, raw)
+    fl = WSMLayer(c, size)
     out = fl.apply({"params": params["WSM_1"]},
                    jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
     got = np.asarray(out).transpose(0, 3, 1, 2)

@@ -22,7 +22,18 @@ import json
 import time
 
 
+_WARNED = False
+
+
 def timeit(fn, iters, *args):
+    """DISPATCH-CLOCK timer (see module warning) - relative use only."""
+    global _WARNED
+    if not _WARNED:
+        print("WARNING: dispatch clock - block_until_ready does not wait "
+              "for device execution through the TPU relay; absolute times "
+              "are meaningless, use tools/true_bench.py (PERF.md).",
+              flush=True)
+        _WARNED = True
     import jax
     jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()

@@ -20,6 +20,10 @@ def main():
     ap.add_argument("--decoders", type=int, nargs="+", default=[1])
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--dtype", choices=("float32", "bfloat16"),
+                    default="float32")
+    ap.add_argument("--no_remat", dest="remat", action="store_false",
+                    default=True)
     ap.add_argument("--out", default="/tmp/md_rdm_trace")
     args = ap.parse_args()
 
@@ -28,6 +32,12 @@ def main():
     import numpy as np
     import jax
     import jax.numpy as jnp
+    try:   # persistent compile cache: cold relay compiles are 10-20 min
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(repo, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
     from md_rdm_tpu.core.config import Config, ModelConfig, TrainConfig
     from md_rdm_tpu.models.rdm import DepthEstimationNet
@@ -39,7 +49,9 @@ def main():
     x = jnp.asarray(rng.random((args.batch, 226, 226, 3)), jnp.float32)
     y = jnp.asarray(rng.random((args.batch, 1, 226, 226)) * 9 + 0.5,
                     jnp.float32)
-    cfg = Config(model=ModelConfig(decoder_ids=tuple(args.decoders)),
+    cfg = Config(model=ModelConfig(decoder_ids=tuple(args.decoders),
+                                   compute_dtype=args.dtype,
+                                   remat=args.remat),
                  train=TrainConfig(metrics=("mse",)))
 
     if args.what == "forward":

@@ -170,6 +170,187 @@ class TorchRDM(nn.Module):
         return out
 
 
+class QuantTables:
+    """The reference's Lloyd quantizer tables (RDM_Net.py:397-441).
+
+    16..128 load from the reference's own .mat files; the 8x8 pair (absent
+    from the reference mount) comes from the repo's regenerated asset
+    (tools/convert_quant_tables.py, sqrt-law residual < 1e-6)."""
+
+    def __init__(self):
+        import numpy as np
+        import scipy.io
+        here = os.path.dirname(os.path.abspath(__file__))
+        npz = np.load(os.path.join(
+            here, "..", "md_rdm_tpu", "assets", "depth_ratio_quant.npz"))
+        self._t = {8: (npz["q8"].reshape(-1, 1),
+                       npz["inv8"].reshape(-1, 1))}
+        for n in (16, 32, 64, 128):
+            path = f"/root/reference/depth_ratio_{n:03d}_{n:03d}_quant.mat"
+            if os.path.exists(path):
+                m = scipy.io.loadmat(path)
+                self._t[n] = (m[f"depth_ratio_{n:03d}_{n:03d}_quant"],
+                              m[f"depth_ratio_{n:03d}_{n:03d}_quant_inv"])
+            else:                       # fall back to the converted asset
+                self._t[n] = (npz[f"q{n}"].reshape(-1, 1),
+                              npz[f"inv{n}"].reshape(-1, 1))
+
+    def tables(self, n):
+        return self._t[n]
+
+
+def lloyd_quantize_oracle(ratio: torch.Tensor, q, inv) -> torch.Tensor:
+    """Ordinal_Layer.LloydQuantization (RDM_Net.py:287-311): index = count
+    of thresholds <= ratio, output = reconstruction level at that index.
+    The reference materializes a (..., 40) indicator tensor, sums it, and
+    maps each element through ``inv`` in a Python loop; integer gather is
+    the identical function (golden-tested against the literal loop in
+    tests/test_ops_parity.py)."""
+    qt = torch.as_tensor(q[:, 0], dtype=ratio.dtype)
+    it = torch.as_tensor(inv[:, 0], dtype=ratio.dtype)
+    idx = (ratio.unsqueeze(-1) >= qt).sum(-1)
+    return it[idx]
+
+
+def sparse_comparison_id_oracle(dn, dn_1, cp):
+    """Ordinal_Layer.sparse_comparison_id's literal double loop
+    (RDM_Net.py:259-285), raw ratios BEFORE quantization: for each pixel of
+    dn, the ratio against a clamped 3x3 window of dn_1 selected by
+    cp.get_resized_area."""
+    b, c, h, w = dn.shape
+    dnv = dn.view(b, h, w)
+    rows = []
+    for ir in range(h):
+        for ic in range(w):
+            r0 = int(min(max(ir // 2, 0), dn_1.shape[2] - 3))
+            c0 = int(min(max(ic // 2, 0), dn_1.shape[3] - 3))
+            area = cp.get_resized_area(r0, r0 + 2, c0, c0 + 3, dn_1)
+            rows.append(dnv[:, ir, ic].view(b, 1, 1) * area.pow(-1))
+    return torch.cat(rows, 1)
+
+
+class RelDecoder(nn.Module):
+    """Relative decoder d6/d7: dense block (+WSM_1 for d7) + 1-ch conv1
+    head + the Ordinal_Layer relative branch (RDM_Net.py:137-162,359-387)
+    run with computations.py as the oracle.  Only the parameterized modules
+    live here; ``forward_with_tail`` returns every staged intermediate."""
+
+    def __init__(self, did: int, quant: QuantTables):
+        super().__init__()
+        assert did in (6, 7)
+        self.did = did
+        self.quant = quant
+        self.dense_layer = DenseBlock(24, 1056, 8, 48)
+        self.wsm_block = nn.Sequential()
+        if did == 7:
+            self.wsm_block.add_module("WSM_1", TorchWSMLayer(1664, 16, 1))
+        planes = {6: 2208, 7: 1664}[did]
+        self.conv1 = nn.Conv2d(planes, 1, 1)
+
+    def forward_with_tail(self, x, cp):
+        d = self.conv1(self.wsm_block(self.dense_layer(x)))
+        out = {"feat": d.clone()}
+        if self.did == 6:
+            # sparse_comparison_v1 (RDM_Net.py:244-258): full outer ratio
+            b, c, h, w = d.shape
+            size = h * w
+            r = d.view(b, c, size)
+            ratio = torch.matmul(r.view(b, size, c),
+                                 r.pow(-1)).view(b, size, size)
+            out["comparison"] = ratio.clone()
+            sparse = lloyd_quantize_oracle(ratio, *self.quant.tables(8))
+            out["quantized"] = sparse.clone()
+            out["als"] = cp.quadratic_als(sparse, cuda=False, n=3)
+        else:
+            dn_1 = cp.resize(d, 8)              # RDM_Net.py:378
+            out["dn_1"] = dn_1.clone()
+            ratio = sparse_comparison_id_oracle(d, dn_1, cp)
+            out["comparison"] = ratio.clone()
+            sparse = lloyd_quantize_oracle(ratio, *self.quant.tables(16))
+            out["quantized"] = sparse.clone()
+            out["als"] = cp.alternating_least_squares(
+                sparse_m=sparse, n=4, cuda=False, limit=100)
+        return out
+
+
+class TorchWSMLayer(nn.Module):
+    """Reference WSMLayer at full size, reference module names
+    (RDM_Net.py:163-236; Sequential wrappers reproduce the state_dict key
+    shapes deconv1.0.*, wsm_wx3.1.*)."""
+
+    def __init__(self, in_channels, kernel_size, layer_id):
+        super().__init__()
+        k_in, w_in = in_channels // 4, in_channels // 8
+        self.deconv1 = nn.Sequential(
+            nn.ConvTranspose2d(in_channels, in_channels, 2, 2))
+        self.conv1_1 = nn.Conv2d(in_channels, k_in, 1)
+        self.conv1_2 = nn.Conv2d(in_channels, k_in, 1)
+        self.conv1_3 = nn.Conv2d(in_channels, k_in, 1)
+        self.conv1_4 = nn.Conv2d(in_channels, w_in, 1)
+        self.conv1_5 = nn.Conv2d(in_channels, w_in, 1)
+        self.conv2_1 = nn.Conv2d(k_in, k_in, 3, padding=1)
+        self.conv2_2 = nn.Conv2d(k_in, k_in, 5, padding=2)
+        self.wsm_wx3 = nn.Sequential(
+            nn.ZeroPad2d((0, 0, 1, 1)),
+            nn.Conv2d(w_in, w_in, (3, kernel_size), (1, kernel_size)))
+        self.wsm_3xh = nn.Sequential(
+            nn.ZeroPad2d((1, 1, 0, 0)),
+            nn.Conv2d(w_in, w_in, (kernel_size, 3), (kernel_size, 1)))
+        raw = 2208 if layer_id == 1 else 2 * in_channels
+        self.input_adjustment_layer = nn.Conv2d(raw, in_channels, 1)
+
+    def forward(self, x):
+        x = self.input_adjustment_layer(x)
+        up = self.deconv1(x)
+        o11 = self.conv1_1(up)
+        o21 = self.conv2_1(self.conv1_2(up))
+        o22 = self.conv2_2(self.conv1_3(up))
+        col = self.wsm_wx3(self.conv1_4(up))
+        row = self.wsm_3xh(self.conv1_5(up))
+        ch = col.repeat(1, 1, 1, col.shape[2])
+        cv = row.repeat(1, 1, row.shape[3], 1)
+        return torch.cat((o11, o21, o22, cv, ch), 1)
+
+
+class TorchRDMRel(nn.Module):
+    """d1 + relative d6 + d7 - the reference's dormant relative branch
+    composed per its forward sketch (RDM_Net.py:96-135 commented path),
+    reference naming, for converted-weights stage parity."""
+
+    def __init__(self):
+        super().__init__()
+        self.encoder = Encoder()
+        self.d_1 = Decoder1()
+        quant = QuantTables()
+        self.d_6 = RelDecoder(6, quant)
+        self.d_7 = RelDecoder(7, quant)
+        # vector sizes for (1,6,7): d1 slots 0..3, d6 slots 1..3,
+        # d7 slots 1..4 (RDM_Net.py:63 scheme)
+        self.weight_layer = WeightLayer((1, 3, 3, 3, 1, 0, 0, 0))
+
+    def forward(self, x, cp):
+        feats = self.encoder(x)
+        decode, probs = self.d_1(feats)
+        o6 = self.d_6.forward_with_tail(feats, cp)
+        o7 = self.d_7.forward_with_tail(feats, cp)
+        out = {"encoder": feats, "decode": decode, "probs": probs,
+               "d6": o6, "d7": o7}
+        b, _, h, w = decode.shape
+        gm = cp.quick_gm(decode.view(b, h * w, 1), h)
+        normed = decode / gm.expand(b, h * w).view(b, 1, h, w)
+        f_d1 = cp.decompose_depth_map([], normed, 3)[::-1]
+        f_d6 = cp.decompose_depth_map([], o6["als"], 3,
+                                      relative_map=True)[::-1]
+        f_d7 = cp.decompose_depth_map([], o7["als"], 4,
+                                      relative_map=True)[::-1]
+        mats = cp.relative_fine_detail_matrix([f_d1, f_d6, f_d7], False)
+        out["matrices"] = [m.clone() for m in mats]
+        yhat = cp.make_pred(self.weight_layer.weight_list, mats, False, False)
+        out["yhat"] = [y.clone() for y in yhat]
+        out["final"] = cp.recombination(list(yhat), 7)
+        return out
+
+
 def randomize_batchnorm(model: nn.Module, seed: int = 0):
     """Give BN layers non-trivial running stats so eval-mode parity is a
     real test of the conversion, not of identity statistics."""

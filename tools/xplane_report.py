@@ -1,0 +1,129 @@
+"""Aggregate per-op device time from a jax.profiler xplane trace.
+
+Reads the ``*.xplane.pb`` written by ``jax.profiler.trace`` /
+``tools/profile_trace.py``, walks the TPU device planes, and sums event
+durations per HLO op, then groups them into readable categories
+(conv-forward, conv-backward-input/filter, fusion kinds, copies,
+reductions, ALS loop, ...).  This is the evidence base for the MFU-ceiling
+analysis (PERF.md round 3): which ops actually burn the wall clock, and
+which of those are MXU-underfilled.
+
+Usage:
+  python tools/xplane_report.py /tmp/md_rdm_trace [--top 40]
+"""
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import os
+import re
+
+
+def load_xplanes(trace_dir: str):
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                      recursive=True)
+    if not paths:
+        raise SystemExit(f"no .xplane.pb under {trace_dir}")
+    try:
+        from tensorflow.core.profiler.protobuf import xplane_pb2
+    except Exception:
+        from tensorboard_plugin_profile.protobuf import xplane_pb2
+    spaces = []
+    for p in paths:
+        xs = xplane_pb2.XSpace()
+        with open(p, "rb") as f:
+            xs.ParseFromString(f.read())
+        spaces.append((p, xs))
+    return spaces
+
+
+def device_planes(xspace):
+    for plane in xspace.planes:
+        name = plane.name
+        if ("/device:TPU" in name or "TensorCore" in name
+                or name.startswith("/device:tpu")):
+            yield plane
+
+
+def iter_events(plane):
+    """Yield (op_name, duration_ps, stats_dict) for every XEvent."""
+    meta = {m_id: m.name for m_id, m in plane.event_metadata.items()}
+    stat_names = {s_id: s.name for s_id, s in plane.stat_metadata.items()}
+    for line in plane.lines:
+        for ev in line.events:
+            stats = {}
+            for st in ev.stats:
+                key = stat_names.get(st.metadata_id, str(st.metadata_id))
+                val = (st.str_value or st.int64_value or st.uint64_value
+                       or st.double_value)
+                stats[key] = val
+            yield meta.get(ev.metadata_id, "?"), ev.duration_ps, stats
+
+
+CATEGORIES = (
+    ("copy/transfer", re.compile(r"copy|transpose[._-]?start|infeed|outfeed",
+                                 re.I)),
+    ("conv-bwd-filter", re.compile(
+        r"(gradients|backward).*filter|filter.*backward|"
+        r"%?convolution.*filter_backprop", re.I)),
+    ("conv-bwd-input", re.compile(
+        r"(gradients|backward).*input|input.*backward", re.I)),
+    ("convolution", re.compile(r"convolution|conv[0-9._-]", re.I)),
+    ("matmul/dot", re.compile(r"\bdot\b|dot_general|matmul", re.I)),
+    ("while/scan(ALS)", re.compile(r"while|scan", re.I)),
+    ("reduce", re.compile(r"reduce", re.I)),
+    ("fusion", re.compile(r"fusion", re.I)),
+    ("all-reduce", re.compile(r"all-reduce|psum", re.I)),
+)
+
+
+def categorize(name: str) -> str:
+    for cat, pat in CATEGORIES:
+        if pat.search(name):
+            return cat
+    return "other"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("trace_dir")
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--merge-reps", action="store_true", default=True,
+                    help="strip trailing .N rep suffixes when merging ops")
+    args = ap.parse_args()
+
+    per_op = collections.Counter()
+    per_op_count = collections.Counter()
+    total_ps = 0
+    nplanes = 0
+    for path, xs in load_xplanes(args.trace_dir):
+        for plane in device_planes(xs):
+            nplanes += 1
+            for name, dur_ps, _stats in iter_events(plane):
+                key = re.sub(r"\.(\d+)$", "", name) if args.merge_reps else name
+                per_op[key] += dur_ps
+                per_op_count[key] += 1
+                total_ps += dur_ps
+
+    if not per_op:
+        raise SystemExit("no device events found (CPU-only trace?)")
+
+    per_cat = collections.Counter()
+    for name, ps in per_op.items():
+        per_cat[categorize(name)] += ps
+
+    print(f"device planes: {nplanes}   total device-event time: "
+          f"{total_ps / 1e9:.3f} ms (sum over events; overlapping lines "
+          f"may double-count)")
+    print("\n== by category ==")
+    for cat, ps in per_cat.most_common():
+        print(f"  {cat:<18} {ps / 1e9:>10.3f} ms  {100 * ps / total_ps:5.1f}%")
+    print(f"\n== top {args.top} ops ==")
+    for name, ps in per_op.most_common(args.top):
+        print(f"  {ps / 1e9:>9.3f} ms  x{per_op_count[name]:<4} "
+              f"{100 * ps / total_ps:5.1f}%  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()
