@@ -54,9 +54,11 @@ def main():
                                    remat=args.remat),
                  train=TrainConfig(metrics=("mse",)))
 
+    dev = jax.devices()[0]
     if args.what == "forward":
         model = DepthEstimationNet(cfg.model)
-        variables = model.init(jax.random.PRNGKey(0), x[:1], train=False)
+        variables = jax.device_put(
+            model.init(jax.random.PRNGKey(0), x[:1], train=False), dev)
 
         @jax.jit
         def fn(v, x):
@@ -67,7 +69,10 @@ def main():
     else:
         module = DepthTrainer(cfg)
         tx = make_optimizer(1e-4)
-        state = module.init(jax.random.PRNGKey(0), tx, x[:1])
+        # pin params/opt-state on device: init-produced arrays otherwise
+        # re-stream host<->device every call through the relay (PERF.md #3)
+        state = jax.device_put(
+            module.init(jax.random.PRNGKey(0), tx, x[:1]), dev)
         step = jax.jit(lambda s, xx, yy: module.train_step(s, tx, xx, yy))
 
         def run():

@@ -26,9 +26,9 @@ def load_xplanes(trace_dir: str):
     if not paths:
         raise SystemExit(f"no .xplane.pb under {trace_dir}")
     try:
-        from tensorflow.core.profiler.protobuf import xplane_pb2
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
     except Exception:
-        from tensorboard_plugin_profile.protobuf import xplane_pb2
+        from tensorflow.core.profiler.protobuf import xplane_pb2
     spaces = []
     for p in paths:
         xs = xplane_pb2.XSpace()
@@ -46,11 +46,15 @@ def device_planes(xspace):
             yield plane
 
 
-def iter_events(plane):
-    """Yield (op_name, duration_ps, stats_dict) for every XEvent."""
+def iter_events(plane, line_name="XLA Ops"):
+    """Yield (op_name, duration_ps, stats_dict) for XEvents on the named
+    line.  'XLA Ops' is the synchronous per-op device timeline; 'Async XLA
+    Ops' (DMA/copy-start) and 'Steps' overlap it and would double-count."""
     meta = {m_id: m.name for m_id, m in plane.event_metadata.items()}
     stat_names = {s_id: s.name for s_id, s in plane.stat_metadata.items()}
     for line in plane.lines:
+        if line.name != line_name:
+            continue
         for ev in line.events:
             stats = {}
             for st in ev.stats:
@@ -89,6 +93,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("trace_dir")
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--line", default="XLA Ops",
+                    help="timeline to aggregate (XLA Ops | Async XLA Ops)")
     ap.add_argument("--merge-reps", action="store_true", default=True,
                     help="strip trailing .N rep suffixes when merging ops")
     args = ap.parse_args()
@@ -100,7 +106,7 @@ def main():
     for path, xs in load_xplanes(args.trace_dir):
         for plane in device_planes(xs):
             nplanes += 1
-            for name, dur_ps, _stats in iter_events(plane):
+            for name, dur_ps, _stats in iter_events(plane, args.line):
                 key = re.sub(r"\.(\d+)$", "", name) if args.merge_reps else name
                 per_op[key] += dur_ps
                 per_op_count[key] += 1
