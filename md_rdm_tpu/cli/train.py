@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Rematerialize encoder dense blocks (default on: "
                         "faster and leaner; see PERF.md)")
     p.add_argument("--no_remat", dest="remat", action="store_false")
+    p.add_argument("--fusion_eps", type=float, default=0.0,
+                   help="Stabilization floor for the fine-detail fusion "
+                        "tail (0 = faithful reference semantics; 1e-2 "
+                        "recommended when training relative decoders - "
+                        "the faithful path NaNs, see ModelConfig)")
     p.add_argument("--soft_decode", action="store_true",
                    help="Differentiable DORN decode (sum of probs)")
     p.add_argument("--linear_metrics", action="store_true",
@@ -191,7 +196,8 @@ def main(argv=None):
             decoder_ids=tuple(args.decoders),
             compute_dtype="bfloat16" if args.precision == 16 else "float32",
             remat=args.remat,
-            soft_ordinal_decode=args.soft_decode),
+            soft_ordinal_decode=args.soft_decode,
+            fusion_eps=args.fusion_eps),
         data=DataConfig(dataset=args.dataset,
                         dataset_type=args.dataset_type,
                         path=args.nyu_path or args.data_path,

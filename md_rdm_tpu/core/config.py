@@ -73,6 +73,21 @@ class ModelConfig:
     # paths (kernels/lloyd.py): "auto" = on real TPU only (the interpret
     # fallback is slow on CPU), "on"/"off" force it.
     pallas_lloyd: str = "auto"
+    # Fused Pallas dense-layer sandwich (kernels/dense_sandwich.py):
+    # conv1x1 -> folded-BN -> relu -> conv3x3 in one VMEM-resident kernel
+    # at the encoder's 57/29/15 spatial sizes.  "auto" = on real TPU;
+    # "on"/"off" force; "interpret" runs the kernel interpreted (tests).
+    fused_dense: str = "auto"
+    # Fusion-tail stabilization floor (0.0 = faithful reference semantics).
+    # The reference's fine-detail pipeline logs Hadamard ratios that can go
+    # <= 0 (ALS fills have no positivity guarantee; bicubic has negative
+    # lobes) - training the authors' optimal set (1,6,7,8,9) NaNs within
+    # one epoch without this (measured round 3; the reference never trains
+    # that set, its find_nans guard is commented out, computations.py:383).
+    # Recommended 1e-2 for optimal-set training: pyramid levels floored at
+    # eps, ratios clipped to [eps, 1/eps], log inputs floored at eps - on
+    # the prediction side only, targets stay faithful.
+    fusion_eps: float = 0.0
 
     def __post_init__(self):
         for d in self.decoder_ids:

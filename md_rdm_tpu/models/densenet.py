@@ -21,17 +21,84 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+from md_rdm_tpu.kernels.dense_sandwich import (conv_bn_stats, dense_sandwich,
+                                               profitable_spatial,
+                                               supported_spatial)
 
 Dtype = Any
 
 
+def resolve_fused(mode: str) -> str:
+    """Resolve ModelConfig.fused_dense ("auto" -> on for real TPU)."""
+    if mode == "auto":
+        return "on" if jax.default_backend() == "tpu" else "off"
+    return mode
+
+
+class _Kernel(nn.Module):
+    """Bare conv-kernel parameter holder: registers ``<name>/kernel`` with
+    nn.Conv's exact default initializer/shape so fused layers stay
+    checkpoint- and converter-compatible with the unfused graph."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
+class _FoldedNorm(nn.Module):
+    """BatchNorm folded to a per-channel (scale, shift) affine over the
+    *output of a bias-free 1x1 conv* without materializing that output.
+
+    Registers the same params/variables as ``nn.BatchNorm(name=...)``
+    (params ``scale``/``bias``, batch_stats ``mean``/``var``) so checkpoints
+    interoperate.  Train-mode batch statistics come from
+    :func:`conv_bn_stats` (exact up to f.p. summation order - the 1x1 conv
+    is linear); running averages update with flax's convention
+    ``ra = momentum * ra + (1 - momentum) * batch``.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, xr, w1, train: bool):
+        c = w1.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if train:
+            mean, var = conv_bn_stats(xr, w1)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        s = gamma * jax.lax.rsqrt(var + self.epsilon)
+        return s, beta - mean * s
+
+
 class DenseLayer(nn.Module):
-    """One torchvision _DenseLayer (bottleneck + 3x3 growth conv)."""
+    """One torchvision _DenseLayer (bottleneck + 3x3 growth conv).
+
+    ``fused`` ("on"/"interpret") routes the conv1 -> norm2 -> relu ->
+    conv2 sandwich through the Pallas kernel (kernels/dense_sandwich.py)
+    at supported spatial sizes - same math, same parameter tree.
+    """
 
     bn_size: int
     growth_rate: int
     dtype: Dtype = jnp.float32
+    fused: str = "off"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -43,7 +110,24 @@ class DenseLayer(nn.Module):
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         h = nn.relu(h.astype(self.dtype))
-        h = nn.Conv(self.bn_size * self.growth_rate, (1, 1), use_bias=False,
+        c_mid = self.bn_size * self.growth_rate
+        # "on" routes only the measured-profitable sizes, and only in
+        # eval mode: the train step is measured SLOWER fused (77.8 vs
+        # 70.1 ms bf16 b16 - the [C,pixels] prep copy runs twice under
+        # remat and its vjp once more, outweighing the kernel's gain;
+        # PERF.md round 3).  "interpret" (tests) exercises every
+        # kernel-supported size in both modes.
+        fuse_here = (supported_spatial(h.shape[1])
+                     if self.fused == "interpret"
+                     else (self.fused == "on" and not train
+                           and profitable_spatial(h.shape[1])))
+        if fuse_here:
+            w1 = _Kernel((1, 1, h.shape[-1], c_mid), name="conv1")()
+            w2 = _Kernel((3, 3, c_mid, self.growth_rate), name="conv2")()
+            scale, shift = _FoldedNorm(name="norm2")(h, w1, train)
+            return dense_sandwich(h, w1, scale, shift, w2,
+                                  interpret=self.fused == "interpret")
+        h = nn.Conv(c_mid, (1, 1), use_bias=False,
                     dtype=self.dtype, name="conv1")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32, name="norm2")(h)
@@ -66,6 +150,7 @@ class DenseBlock(nn.Module):
     growth_rate: int
     dtype: Dtype = jnp.float32
     remat: bool = False
+    fused: str = "off"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -73,7 +158,8 @@ class DenseBlock(nn.Module):
                      if self.remat else DenseLayer)
         for i in range(self.num_layers):
             new = layer_cls(self.bn_size, self.growth_rate,
-                            dtype=self.dtype, name=f"denselayer{i + 1}")(
+                            dtype=self.dtype, fused=self.fused,
+                            name=f"denselayer{i + 1}")(
                                 x, train)
             x = jnp.concatenate([x, new.astype(x.dtype)], axis=-1)
         return x
@@ -113,6 +199,7 @@ class Encoder(nn.Module):
 
     dtype: Dtype = jnp.float32
     remat: bool = False
+    fused: str = "off"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -121,14 +208,16 @@ class Encoder(nn.Module):
                     dtype=self.dtype, name="conv_e1")(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         x = DenseBlock(6, 57, 48, dtype=self.dtype, remat=self.remat,
-                       name="dense_e2")(x, train)
+                       fused=self.fused, name="dense_e2")(x, train)
         x = pad_br(x)
         x = Transition(192, dtype=self.dtype, name="trans_e2")(x, train)
         x = DenseBlock(12, 29, 48, dtype=self.dtype, remat=self.remat,
+                       fused=self.fused,
                        name="dense_e3")(x, train)
         x = pad_br(x)
         x = Transition(384, dtype=self.dtype, name="trans_e3")(x, train)
         x = DenseBlock(36, 15, 48, dtype=self.dtype, remat=self.remat,
+                       fused=self.fused,
                        name="dense_e4")(x, train)
         x = pad_br(x)
         x = Transition(1056, dtype=self.dtype, name="trans_e4")(x, train)

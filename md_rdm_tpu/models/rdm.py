@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from md_rdm_tpu.core.config import DECODER_SIZES, ModelConfig, decomposition_depth
 from md_rdm_tpu.models.decoder import Decoder, build_cross_scale_sparse
-from md_rdm_tpu.models.densenet import Encoder
+from md_rdm_tpu.models.densenet import Encoder, resolve_fused
 from md_rdm_tpu.ops.als import als_factorize_grouped
 from md_rdm_tpu.ops.decompose import decompose_depth_map, fine_detail_matrices, make_pred
 from md_rdm_tpu.ops.geometry import normalize_gm
@@ -66,6 +66,7 @@ class DepthEstimationNet(nn.Module):
         cfg = self.config
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         feats = Encoder(dtype=dtype, remat=cfg.remat,
+                        fused=resolve_fused(cfg.fused_dense),
                         name="encoder")(x, train=train)
         if cfg.freeze_encoder:
             feats = jax.lax.stop_gradient(feats)
@@ -124,9 +125,13 @@ class DepthEstimationNet(nn.Module):
         rows = []
         for did in cfg.decoder_ids:
             n = decomposition_depth(did)
+            m = rel_maps[did]
+            if cfg.fusion_eps and did > 5:
+                # ALS-filled relative maps carry no positivity guarantee
+                m = jnp.clip(m, cfg.fusion_eps, 1.0 / cfg.fusion_eps)
             rows.append(decompose_depth_map(
-                rel_maps[did], n, relative_map=did > 5))
+                m, n, relative_map=did > 5, eps=cfg.fusion_eps))
 
-        mats = fine_detail_matrices(rows)
+        mats = fine_detail_matrices(rows, eps=cfg.fusion_eps)
         yhat = Weights(cfg.vector_sizes, name="weight_layer")(mats)
         return yhat, ord_depth, ord_probs

@@ -28,17 +28,31 @@ from md_rdm_tpu.ops.resize import multi_upsample, resize_bicubic, upsample_neare
 
 
 def decompose_depth_map(dn: jnp.ndarray, n: int,
-                        relative_map: bool = False) -> List[jnp.ndarray]:
+                        relative_map: bool = False,
+                        eps: float = 0.0) -> List[jnp.ndarray]:
     """Decompose a (B, 1, 2^n, 2^n) map into fine-detail components.
 
     Returns [D0, F1, ..., Fn] (or [F1..Fn] when ``relative_map``), each
     (B, 1, 2^k, 2^k) - coarse-to-fine order (callers of the reference
     reverse its fine-to-coarse output; we return reversed directly).
+
+    ``eps`` > 0 enables the flag-gated stabilization the reference lacks
+    (its find_nans guard is commented-out debug, computations.py:383):
+    bicubic downsampling has negative lobes and ALS-filled relative maps
+    have no positivity guarantee, so the Hadamard ratios can go <= 0 and
+    later ``log`` them to NaN.  With eps set, each pyramid level is
+    floored at eps and the ratios are clipped to [eps, 1/eps] - faithful
+    mode (eps=0) is bit-identical to before.
     """
     fines: List[jnp.ndarray] = []
     for k in range(n, 0, -1):
         dn_1 = resize_bicubic(dn, 2 ** (k - 1))
-        fines.append(dn / upsample_nearest2(dn_1))
+        if eps:
+            dn_1 = jnp.maximum(dn_1, eps)
+            fines.append(jnp.clip(dn / upsample_nearest2(dn_1),
+                                  eps, 1.0 / eps))
+        else:
+            fines.append(dn / upsample_nearest2(dn_1))
         dn = dn_1
     out = [] if relative_map else [dn]
     out.extend(reversed(fines))
@@ -74,12 +88,14 @@ def slot_index(size: int) -> int:
     return idx
 
 
-def fine_detail_matrices(rows: Sequence[Sequence[jnp.ndarray]]) -> List[jnp.ndarray]:
+def fine_detail_matrices(rows: Sequence[Sequence[jnp.ndarray]],
+                         eps: float = 0.0) -> List[jnp.ndarray]:
     """Slot fine-detail maps by size and stack logs into matrices.
 
     rows: list of per-decoder component lists (each coarse->fine).
     Returns one (B, k_i, H_i*W_i) float32 log-space matrix per non-empty
-    slot, ascending size (computations.py:423-484).
+    slot, ascending size (computations.py:423-484).  ``eps`` > 0 floors
+    the log input (stabilization; see :func:`decompose_depth_map`).
     """
     slots: List[List[jnp.ndarray]] = [[] for _ in range(8)]
     for row in rows:
@@ -91,7 +107,8 @@ def fine_detail_matrices(rows: Sequence[Sequence[jnp.ndarray]]) -> List[jnp.ndar
             continue
         b = cand[0].shape[0]
         mats.append(jnp.stack(
-            [jnp.log(x).reshape(b, -1) for x in cand], axis=1))
+            [jnp.log(jnp.maximum(x, eps) if eps else x).reshape(b, -1)
+             for x in cand], axis=1))
     return mats
 
 

@@ -24,6 +24,9 @@ def main():
                     default="float32")
     ap.add_argument("--no_remat", dest="remat", action="store_false",
                     default=True)
+    ap.add_argument("--fused", default="auto",
+                    choices=("auto", "on", "off"),
+                    help="ModelConfig.fused_dense (Pallas dense sandwich)")
     ap.add_argument("--out", default="/tmp/md_rdm_trace")
     args = ap.parse_args()
 
@@ -51,7 +54,8 @@ def main():
                     jnp.float32)
     cfg = Config(model=ModelConfig(decoder_ids=tuple(args.decoders),
                                    compute_dtype=args.dtype,
-                                   remat=args.remat),
+                                   remat=args.remat,
+                                   fused_dense=args.fused),
                  train=TrainConfig(metrics=("mse",)))
 
     dev = jax.devices()[0]

@@ -80,7 +80,8 @@ def flops_of(jitted, *a):
 
 
 def measure_forward(batch: int = 16, k_lo: int = 4, k_hi: int = 16,
-                    dtype: str = "float32", decoder_ids=(1,)):
+                    dtype: str = "float32", decoder_ids=(1,),
+                    fused: str = "auto"):
     """(seconds per forward, flops per forward) for the given decoder set,
     scan-chained + overhead-differenced (see module docstring)."""
     _setup()
@@ -94,7 +95,8 @@ def measure_forward(batch: int = 16, k_lo: int = 4, k_hi: int = 16,
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((batch, 226, 226, 3)), jnp.float32)
     model = DepthEstimationNet(
-        ModelConfig(decoder_ids=tuple(decoder_ids), compute_dtype=dtype))
+        ModelConfig(decoder_ids=tuple(decoder_ids), compute_dtype=dtype,
+                    fused_dense=fused))
     variables = jax.device_put(
         model.init(jax.random.PRNGKey(0), x[:1], train=False),
         jax.devices()[0])
@@ -117,7 +119,17 @@ def measure_forward(batch: int = 16, k_lo: int = 4, k_hi: int = 16,
         yhat, d, _p = model.apply(v, x, train=False)
         return recombination(list(yhat))
 
-    return dt, flops_of(fwd1, variables, x)
+    fl = flops_of(fwd1, variables, x)
+    if fl:
+        fl += _hidden_flops(fused, batch)
+    return dt, fl
+
+
+def _hidden_flops(fused: str, batch: int) -> int:
+    """Flops inside Pallas sandwich calls, invisible to cost_analysis."""
+    from md_rdm_tpu.kernels.dense_sandwich import fused_hidden_flops
+    from md_rdm_tpu.models.densenet import resolve_fused
+    return fused_hidden_flops(batch) if resolve_fused(fused) == "on" else 0
 
 
 def main():
@@ -128,6 +140,9 @@ def main():
                     default=["calib", "fwd", "train", "train_opt"],
                     choices=["calib", "fwd", "train", "train_opt",
                              "pallas", "remat", "train_opt_bf16", "fwd_opt"])
+    ap.add_argument("--fused", default="auto",
+                    choices=("auto", "on", "off", "interpret"),
+                    help="ModelConfig.fused_dense for every section")
     args = ap.parse_args()
 
     _setup()
@@ -180,7 +195,7 @@ def main():
 
     if "fwd" in args.sections:
         for dtype in ("float32", "bfloat16"):
-            dt, fl = measure_forward(b, k_lo, k_hi, dtype)
+            dt, fl = measure_forward(b, k_lo, k_hi, dtype, fused=args.fused)
             tag = {"float32": "forward", "bfloat16": "forward_bf16"}[dtype]
             record(f"{tag}_ms", round(dt * 1e3, 3))
             record(f"{tag}_img_per_s", round(b / dt, 1))
@@ -197,7 +212,8 @@ def main():
         yy_ = y if bb == b else jnp.asarray(
             rng.random((bb, 1, 226, 226)) * 9 + 0.5, jnp.float32)
         cfg = Config(model=ModelConfig(decoder_ids=decoder_ids,
-                                       compute_dtype=dtype, remat=remat),
+                                       compute_dtype=dtype, remat=remat,
+                                       fused_dense=args.fused),
                      train=TrainConfig(metrics=("delta1", "mse")))
         module = DepthTrainer(cfg)
         tx = make_optimizer(1e-4)
@@ -221,6 +237,9 @@ def main():
 
         step1 = jax.jit(lambda s, xx, yy: module.train_step(s, tx, xx, yy))
         fl, byt = cost_of(step1, state0, xx_, yy_)
+        # no hidden-flop correction: the sandwich kernel routes eval-mode
+        # only (train is measured slower fused; densenet.DenseLayer), so
+        # train steps contain no Pallas sandwich calls.
         if fl:
             record(f"{tag}_gflops", round(fl / 1e9, 1))
             record(f"{tag}_mfu_pct", round(100 * fl / dt / V5E_PEAK_FLOPS, 1))
@@ -238,7 +257,8 @@ def main():
                     dtype="bfloat16")
     if "fwd_opt" in args.sections:
         dt, fl = measure_forward(b, k_lo, k_hi,
-                                 decoder_ids=(1, 6, 7, 8, 9))
+                                 decoder_ids=(1, 6, 7, 8, 9),
+                                 fused=args.fused)
         record("forward_opt_set_ms", round(dt * 1e3, 3))
         record("forward_opt_set_img_per_s", round(b / dt, 1))
         if fl:
