@@ -14,13 +14,15 @@ BN reduces over 2736 channels at full spatial, and the 3x3 conv writes
 ideal per layer).
 
 This kernel fuses conv1x1 -> folded-BN affine -> ReLU -> conv3x3 into a
-single Pallas program per (batch, row-strip):
+single Pallas program per batch element (full frame - a row-strip
+variant measured slower: the strip stack materialized an extra
+transposed+haloed input copy, ~41 MB at the widest S=57 layer):
 
 * both contractions run in **transposed layout** ``[C, pixels]`` so the
   pixel axis (= thousands) fills the MXU lanes instead of the 48 output
   channels;
-* z lives only in VMEM (a ``[C_mid, ~1.3k]`` strip, ~7 MB) - the HBM
-  round trip disappears;
+* z lives only in VMEM (a ``[kc, F*F]`` chunk slab) - the HBM round
+  trip disappears;
 * the 3x3 conv uses the *flattened-frame trick*: with the spatial frame
   zero-padded to width F = S+2 and flattened row-major, the (dy, dx)
   conv tap is the contiguous flat slice ``z_flat[dy*F+dx : dy*F+dx+L]``
@@ -49,41 +51,61 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Output rows computed per program for each supported spatial size.  S
-# must be divisible by R; R+2 rows of z (halo) are produced per strip.
-_STRIP_ROWS = {57: 19, 29: 29, 15: 15}
+_SUPPORTED = frozenset({57, 29, 15})
 
 
 def _pad128(n: int) -> int:
     return -(-n // 128) * 128
 
 
-def _geometry(s: int) -> Tuple[int, int, int, int, int]:
-    """(R, F, n_strips, Lp, ZL) for spatial size S."""
-    r = _STRIP_ROWS[s]
+def _geometry(s: int) -> Tuple[int, int, int]:
+    """(F, Lp, ZL) for spatial size S: padded-frame width, padded output
+    flat length, padded z-frame lane width (large enough that the last
+    tap's window ``[2F+2, 2F+2+Lp)`` stays in bounds)."""
     f = s + 2
-    n = s // r
-    lp = _pad128(r * f)
-    zl = _pad128(max((r + 2) * f, 2 * f + 2 + lp))
-    return r, f, n, lp, zl
+    lp = _pad128(s * f)
+    zl = _pad128(max(f * f, 2 * f + 2 + lp))
+    return f, lp, zl
 
 
 def supported_spatial(s: int) -> bool:
-    return s in _STRIP_ROWS
+    return s in _SUPPORTED
 
 
 # Sizes where the fused kernel beats XLA's formulation on real v5e
-# (tools/bench_sandwich.py, PERF.md round 3, fori_loop kernel): 57 wins
-# 25-41% across its c_in range in BOTH dtypes (62-63% MFU vs XLA's
-# 35-47%); 29 wins narrow but loses 25% at wide c_in (the [432,kc]@
-# [kc,zl] tap matmul amortizes worse as the strip shrinks); 15 loses up
-# to 2x wide.  "on" therefore routes only S=57 (encoder block 1, the
-# single hottest stage) through the kernel.
-_PROFITABLE = frozenset({57})
+# (tools/bench_sandwich.py, PERF.md round 3, full-frame kernel): 57 wins
+# decisively in both dtypes; 29/15 see "auto" routing decisions below.
+# Train-mode routing is separate: the forward gain must beat the prep
+# copy running twice under remat plus its vjp (measured per PERF.md).
+_PROFITABLE_EVAL = frozenset({57})
+_PROFITABLE_TRAIN = frozenset()
 
 
-def profitable_spatial(s: int) -> bool:
-    return s in _PROFITABLE
+def profitable_spatial(s: int, train: bool = False) -> bool:
+    return s in (_PROFITABLE_TRAIN if train else _PROFITABLE_EVAL)
+
+
+# Sizes where the Pallas backward (not just the forward) wins in the
+# train step (populated from measurement; empty = reference backward).
+_BWD_PROFITABLE = frozenset()
+
+
+def routes(s: int, train: bool, mode: str) -> bool:
+    """Whether DenseLayer routes this (spatial, mode) through the kernel.
+    ``on`` follows the measured-profitable tables; ``on_all`` /
+    ``on_all_bwd`` force every supported size in both modes
+    (benchmarking); ``interpret`` likewise (tests, interpreted)."""
+    if mode in ("interpret", "on_all", "on_all_bwd"):
+        return supported_spatial(s)
+    return mode == "on" and profitable_spatial(s, train)
+
+
+def bwd_routes(s: int, mode: str) -> bool:
+    """Whether the custom_vjp backward uses the Pallas kernel too
+    ("interpret" exercises it so tests cover the fully-fused path)."""
+    if mode in ("on_all_bwd", "interpret"):
+        return supported_spatial(s)
+    return mode == "on" and s in _BWD_PROFITABLE
 
 
 def _pick_kc(c_mid: int, zl: int, itemsize: int) -> int:
@@ -95,7 +117,7 @@ def _pick_kc(c_mid: int, zl: int, itemsize: int) -> int:
     then prefer the largest (fewer chunk-loop iterations)."""
     best = None
     for kc in (512, 384, 256, 128):
-        if kc * zl * (4 + itemsize) > 6_000_000:
+        if kc * zl * (4 + itemsize) > 12_000_000:
             continue
         waste = -(-c_mid // kc) * kc - c_mid
         if best is None or (waste, -kc) < best[0]:
@@ -105,7 +127,7 @@ def _pick_kc(c_mid: int, zl: int, itemsize: int) -> int:
 
 def _kernel(xs_ref, w1t_ref, w2s_ref, scale_ref, shift_ref, out_ref,
             *, s, c_mid_p, growth, kc):
-    """One (batch, strip) program.  See module docstring for layout.
+    """One per-batch-element full-frame program.  See module docstring.
 
     The expansion axis (padded to ``c_mid_p``, a kc multiple) is processed
     in chunks of ``kc``: each chunk computes its z slab (1x1 dot ->
@@ -121,22 +143,20 @@ def _kernel(xs_ref, w1t_ref, w2s_ref, scale_ref, shift_ref, out_ref,
     fills 432) followed by nine shifted VPU adds that pick each tap's
     flat window out of the shared product.
     """
-    r, f, _, lp, zl = _geometry(s)
-    strip = pl.program_id(1)
-    real = (r + 2) * f                      # valid flat length of the strip
+    f, lp, zl = _geometry(s)
 
     # zero mask for the padded frame border (the conv's zero padding):
-    # column 0 / F-1 of every frame row, frame rows 0 / S+1, strip tail.
+    # column 0 / F-1 of every frame row, frame rows 0 / S+1, lane tail.
     fp = lax.broadcasted_iota(jnp.int32, (1, zl), 1)
     col = fp % f
-    row = strip * r + fp // f
+    row = fp // f
     valid = ((col > 0) & (col < f - 1) & (row > 0) & (row < s + 1)
-             & (fp < real))
+             & (fp < f * f))
 
     def chunk(i, acc):
         k0 = i * kc
         z = lax.dot_general(
-            w1t_ref[pl.ds(k0, kc), :], xs_ref[0, 0],
+            w1t_ref[pl.ds(k0, kc), :], xs_ref[0],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         z = (z * scale_ref[pl.ds(k0, kc), :]
@@ -155,7 +175,7 @@ def _kernel(xs_ref, w1t_ref, w2s_ref, scale_ref, shift_ref, out_ref,
 
     acc = lax.fori_loop(0, c_mid_p // kc, chunk,
                         jnp.zeros((growth, lp), jnp.float32))
-    out_ref[0, 0, :, :] = acc.astype(out_ref.dtype)
+    out_ref[0, :, :] = acc.astype(out_ref.dtype)
 
 
 def _pallas_sandwich(xr, w1, scale, shift, w2, *, interpret=False):
@@ -166,14 +186,12 @@ def _pallas_sandwich(xr, w1, scale, shift, w2, *, interpret=False):
     c_mid = w1.shape[-1]
     growth = w2.shape[-1]
     dt = xr.dtype
-    r, f, n, lp, zl = _geometry(s)
+    f, lp, zl = _geometry(s)
 
-    # prep: zero-pad frame, channels-first, flatten, overlapping strips
+    # prep: zero-pad frame, channels-first, flatten row-major, pad lanes
     xp = jnp.pad(xr, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    xt = xp.transpose(0, 3, 1, 2).reshape(b, c_in, f * f)
-    xs = jnp.stack([xt[:, :, i * r * f: i * r * f + (r + 2) * f]
-                    for i in range(n)], 1)             # [B,n,C_in,(R+2)F]
-    xs = jnp.pad(xs, ((0, 0), (0, 0), (0, 0), (0, zl - (r + 2) * f)))
+    xs = jnp.pad(xp.transpose(0, 3, 1, 2).reshape(b, c_in, f * f),
+                 ((0, 0), (0, 0), (0, zl - f * f)))    # [B, C_in, ZL]
 
     kc = _pick_kc(c_mid, zl, jnp.dtype(dt).itemsize)
     cmp_ = -(-c_mid // kc) * kc             # C_mid padded to a kc multiple
@@ -193,33 +211,200 @@ def _pallas_sandwich(xr, w1, scale, shift, w2, *, interpret=False):
     out = pl.pallas_call(
         functools.partial(_kernel, s=s, c_mid_p=cmp_, growth=growth,
                           kc=kc),
-        grid=(b, n),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, 1, c_in, zl), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, c_in, zl), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cmp_, c_in), lambda i, j: (0, 0),
+            pl.BlockSpec((cmp_, c_in), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9 * growth, cmp_), lambda i, j: (0, 0),
+            pl.BlockSpec((9 * growth, cmp_), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cmp_, 1), lambda i, j: (0, 0),
+            pl.BlockSpec((cmp_, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cmp_, 1), lambda i, j: (0, 0),
+            pl.BlockSpec((cmp_, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, growth, lp),
-                               lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, growth, lp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n, growth, lp), dt),
-        # f32 at S=57 peaks ~17 MB of scoped VMEM (w2s 4.9 MB + w1t 3.2 MB
-        # resident + z/t_all slabs); the 16 MB default cap is arbitrary on
-        # a 128 MB-VMEM chip - raise it rather than shrink the chunks.
+        out_shape=jax.ShapeDtypeStruct((b, growth, lp), dt),
+        # full-frame slabs at S=57 f32 peak ~30 MB of scoped VMEM (w2s
+        # 4.9 MB + w1t 3.8 MB resident + z/t_all at 3584 lanes); the
+        # 16 MB default cap is arbitrary on a 128 MB-VMEM chip.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
     )(xs, w1t, w2s, scale2, shift2)
 
-    # [B,n,G,R*F(pad)] -> [B,S,S,G]; flat position q = o*F + w, w<S
-    y = out[..., :r * f].reshape(b, n, growth, r, f)[..., :s]
-    return y.transpose(0, 1, 3, 4, 2).reshape(b, s, s, growth)
+    # [B,G,S*F(pad)] -> [B,S,S,G]; flat position q = o*F + w, w<S
+    y = out[..., :s * f].reshape(b, growth, s, f)[..., :s]
+    return y.transpose(0, 2, 3, 1)
+
+
+def _bwd_kernel(xs_ref, ge_ref, w1t_ref, w2s_ref, scale_ref, shift_ref,
+                dx_ref, dw1_ref, dw2s_ref, dscale_ref, dshift_ref,
+                *, s, c_mid_p, growth, kc):
+    """Per-batch-element backward program.
+
+    Recomputes each z chunk (cheaper than stashing the 284 MB tensor),
+    forms the nine tap-shifted cotangent copies ``g_taps`` once in VMEM,
+    then runs five MXU passes per chunk:
+
+        z      = w1t_c @ x                       (recompute)
+        dr_c   = w2s_cT @ g_taps                 (conv2 transpose)
+        dx    += w1t_cT @ dz                     (conv1 transpose)
+        dw1_c  = dz @ xT
+        dw2s_c = g_taps @ rT
+
+    with da = dr * [a > 0] * border, dz = da * scale, plus the rowsum
+    reductions dscale_c = sum(da * z), dshift_c = sum(da).  Weight grads
+    accumulate across the sequential batch grid into constant-index
+    output blocks (zeroed at program 0).
+    """
+    f, lp, zl = _geometry(s)
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _init():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        dw2s_ref[...] = jnp.zeros_like(dw2s_ref)
+        dscale_ref[...] = jnp.zeros_like(dscale_ref)
+        dshift_ref[...] = jnp.zeros_like(dshift_ref)
+
+    fp = lax.broadcasted_iota(jnp.int32, (1, zl), 1)
+    col = fp % f
+    row = fp // f
+    valid = ((col > 0) & (col < f - 1) & (row > 0) & (row < s + 1)
+             & (fp < f * f))
+
+    # g_taps[t*G:(t+1)*G, p] = ge[p - off_t]   (zeros shifted in)
+    ge = ge_ref[0]
+    zero = jnp.zeros_like(ge)
+    taps = []
+    for dy in range(3):
+        for dx_ in range(3):
+            off = dy * f + dx_
+            if off == 0:
+                taps.append(ge)
+            else:
+                taps.append(jnp.concatenate(
+                    [zero[:, :off], ge[:, :zl - off]], axis=1))
+    g_taps = jnp.concatenate(taps, axis=0)          # [9G, ZL], dt
+
+    def chunk(i, dx_acc):
+        k0 = i * kc
+        z = lax.dot_general(
+            w1t_ref[pl.ds(k0, kc), :], xs_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        sc = scale_ref[pl.ds(k0, kc), :]
+        a = z * sc + shift_ref[pl.ds(k0, kc), :]
+        mask = (a > 0.0) & valid
+        r = jnp.where(mask, a, 0.0).astype(ge.dtype)
+        dr = lax.dot_general(
+            w2s_ref[:, pl.ds(k0, kc)], g_taps,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        da = jnp.where(mask, dr, 0.0)
+        dscale_ref[pl.ds(k0, kc), :] += jnp.sum(da * z, axis=1,
+                                                keepdims=True)
+        dshift_ref[pl.ds(k0, kc), :] += jnp.sum(da, axis=1, keepdims=True)
+        dz = (da * sc).astype(ge.dtype)
+        dx_acc = dx_acc + lax.dot_general(
+            w1t_ref[pl.ds(k0, kc), :], dz,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dw1_ref[pl.ds(k0, kc), :] += lax.dot_general(
+            dz, xs_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dw2s_ref[:, pl.ds(k0, kc)] += lax.dot_general(
+            g_taps, r,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dx_acc
+
+    c_in = xs_ref.shape[1]
+    dx = lax.fori_loop(0, c_mid_p // kc, chunk,
+                       jnp.zeros((c_in, zl), jnp.float32))
+    dx_ref[0, :, :] = dx.astype(dx_ref.dtype)
+
+
+def _pallas_sandwich_bwd(xr, w1, scale, shift, w2, g, *, interpret=False):
+    """Fused backward.  Returns (dxr, dw1, dscale, dshift, dw2) matching
+    the primal dtypes (xr: compute dtype; weights/affine: float32)."""
+    b, s, _, c_in = xr.shape
+    c_mid = w1.shape[-1]
+    growth = w2.shape[-1]
+    dt = xr.dtype
+    f, lp, zl = _geometry(s)
+
+    xp = jnp.pad(xr, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    xs = jnp.pad(xp.transpose(0, 3, 1, 2).reshape(b, c_in, f * f),
+                 ((0, 0), (0, 0), (0, zl - f * f)))
+
+    # embed the cotangent into flat-frame coords: q = o*F + w, w < S
+    ge = jnp.pad(g.astype(dt), ((0, 0), (0, 0), (0, f - s), (0, 0)))
+    ge = ge.transpose(0, 3, 1, 2).reshape(b, growth, s * f)
+    ge = jnp.pad(ge, ((0, 0), (0, 0), (0, zl - s * f)))
+
+    kc = _pick_kc(c_mid, zl, jnp.dtype(dt).itemsize)
+    cmp_ = -(-c_mid // kc) * kc
+    w1t = jnp.pad(w1.reshape(c_in, c_mid).T.astype(dt),
+                  ((0, cmp_ - c_mid), (0, 0)))
+    w2s = jnp.pad(w2.transpose(0, 1, 3, 2).reshape(9 * growth,
+                                                  c_mid).astype(dt),
+                  ((0, 0), (0, cmp_ - c_mid)))
+    scale2 = jnp.pad(scale.astype(jnp.float32),
+                     (0, cmp_ - c_mid)).reshape(cmp_, 1)
+    shift2 = jnp.pad(shift.astype(jnp.float32),
+                     (0, cmp_ - c_mid)).reshape(cmp_, 1)
+
+    dx, dw1, dw2s, dscale, dshift = pl.pallas_call(
+        functools.partial(_bwd_kernel, s=s, c_mid_p=cmp_, growth=growth,
+                          kc=kc),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, c_in, zl), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, growth, zl), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cmp_, c_in), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * growth, cmp_), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cmp_, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cmp_, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c_in, zl), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cmp_, c_in), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * growth, cmp_), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cmp_, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cmp_, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, c_in, zl), dt),
+            jax.ShapeDtypeStruct((cmp_, c_in), jnp.float32),
+            jax.ShapeDtypeStruct((9 * growth, cmp_), jnp.float32),
+            jax.ShapeDtypeStruct((cmp_, 1), jnp.float32),
+            jax.ShapeDtypeStruct((cmp_, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+        interpret=interpret,
+    )(xs, ge, w1t, w2s, scale2, shift2)
+
+    dxr = dx[:, :, :f * f].reshape(b, c_in, f, f)[:, :, 1:s + 1, 1:s + 1]
+    dxr = dxr.transpose(0, 2, 3, 1)
+    dw1 = dw1[:c_mid].T.reshape(1, 1, c_in, c_mid).astype(jnp.float32)
+    dw2 = (dw2s[:, :c_mid].reshape(3, 3, growth, c_mid)
+           .transpose(0, 1, 3, 2).astype(jnp.float32))
+    return (dxr, dw1, dscale[:c_mid, 0], dshift[:c_mid, 0], dw2)
 
 
 def reference_sandwich(xr, w1, scale, shift, w2):
@@ -238,7 +423,7 @@ def reference_sandwich(xr, w1, scale, shift, w2):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_fused(interpret: bool):
+def _make_fused(interpret: bool, pallas_bwd: bool = False):
     @jax.custom_vjp
     def fused(xr, w1, scale, shift, w2):
         return _pallas_sandwich(xr, w1, scale, shift, w2,
@@ -248,6 +433,8 @@ def _make_fused(interpret: bool):
         return fused(xr, w1, scale, shift, w2), (xr, w1, scale, shift, w2)
 
     def bwd(res, g):
+        if pallas_bwd:
+            return _pallas_sandwich_bwd(*res, g, interpret=interpret)
         _, vjp = jax.vjp(reference_sandwich, *res)
         return vjp(g)
 
@@ -256,12 +443,12 @@ def _make_fused(interpret: bool):
 
 
 def dense_sandwich(xr, w1, scale, shift, w2, *, use_pallas=True,
-                   interpret=False):
+                   interpret=False, pallas_bwd=False):
     """Public entry: fused Pallas sandwich (grad-safe) or the XLA
     reference formulation when ``use_pallas`` is False / unsupported."""
     if not use_pallas or not supported_spatial(xr.shape[1]):
         return reference_sandwich(xr, w1, scale, shift, w2)
-    return _make_fused(interpret)(xr, w1, scale, shift, w2)
+    return _make_fused(interpret, pallas_bwd)(xr, w1, scale, shift, w2)
 
 
 def sandwich_flops(b: int, s: int, c_in: int, c_mid: int,
@@ -271,15 +458,16 @@ def sandwich_flops(b: int, s: int, c_in: int, c_mid: int,
     return 2 * b * s * s * c_mid * (c_in + 9 * growth)
 
 
-def fused_hidden_flops(batch: int, growth: int = 48) -> int:
+def fused_hidden_flops(batch: int, growth: int = 48, mode: str = "on",
+                       train: bool = False) -> int:
     """Total per-forward flops hidden inside Pallas sandwich calls for the
     flagship encoder (blocks at S=57/29/15 with the reference's bn_size =
-    spatial quirk, RDM_Net.py:526-531), honoring the profitable-size
-    routing.  Benchmarks add this to XLA's cost analysis so MFU stays
-    honest when the kernel is on."""
+    spatial quirk, RDM_Net.py:526-531), honoring the routing for
+    ``mode``/``train``.  Benchmarks add this to XLA's cost analysis so
+    MFU stays honest when the kernel is on."""
     total = 0
     for s, n_layers, c0 in ((57, 6, 96), (29, 12, 192), (15, 36, 384)):
-        if not profitable_spatial(s):
+        if not routes(s, train, mode):
             continue
         c_mid = s * growth
         for i in range(n_layers):

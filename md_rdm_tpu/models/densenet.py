@@ -24,9 +24,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from md_rdm_tpu.kernels.dense_sandwich import (conv_bn_stats, dense_sandwich,
-                                               profitable_spatial,
-                                               supported_spatial)
+from md_rdm_tpu.kernels.dense_sandwich import (bwd_routes, conv_bn_stats,
+                                               dense_sandwich, routes)
 
 Dtype = Any
 
@@ -111,22 +110,19 @@ class DenseLayer(nn.Module):
                          epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         h = nn.relu(h.astype(self.dtype))
         c_mid = self.bn_size * self.growth_rate
-        # "on" routes only the measured-profitable sizes, and only in
-        # eval mode: the train step is measured SLOWER fused (77.8 vs
-        # 70.1 ms bf16 b16 - the [C,pixels] prep copy runs twice under
-        # remat and its vjp once more, outweighing the kernel's gain;
-        # PERF.md round 3).  "interpret" (tests) exercises every
-        # kernel-supported size in both modes.
-        fuse_here = (supported_spatial(h.shape[1])
-                     if self.fused == "interpret"
-                     else (self.fused == "on" and not train
-                           and profitable_spatial(h.shape[1])))
-        if fuse_here:
+        # routing per measured profitability (kernels/dense_sandwich.py):
+        # eval and train have separate tables - the train step must beat
+        # the prep copy running twice under remat plus its vjp (PERF.md
+        # round 3).  "interpret" (tests) and "on_all" (benchmarks) force
+        # every kernel-supported size in both modes.
+        if routes(h.shape[1], train, self.fused):
             w1 = _Kernel((1, 1, h.shape[-1], c_mid), name="conv1")()
             w2 = _Kernel((3, 3, c_mid, self.growth_rate), name="conv2")()
             scale, shift = _FoldedNorm(name="norm2")(h, w1, train)
             return dense_sandwich(h, w1, scale, shift, w2,
-                                  interpret=self.fused == "interpret")
+                                  interpret=self.fused == "interpret",
+                                  pallas_bwd=bwd_routes(h.shape[1],
+                                                        self.fused))
         h = nn.Conv(c_mid, (1, 1), use_bias=False,
                     dtype=self.dtype, name="conv1")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,

@@ -31,7 +31,7 @@ def _inputs(b=2, s=15, c_in=96, c_mid=720, g=48, seed=0):
     return xr, w1, scale, shift, w2
 
 
-@pytest.mark.parametrize("s,c_in", [(15, 96), (29, 192)])
+@pytest.mark.parametrize("s,c_in", [(15, 96), (29, 192), (57, 336)])
 def test_kernel_matches_reference(s, c_in):
     args = _inputs(b=2, s=s, c_in=c_in, c_mid=s * 48)
     want = reference_sandwich(*args)
@@ -54,6 +54,29 @@ def test_custom_vjp_grads_match_reference():
         scale = float(jnp.max(jnp.abs(gr))) + 1e-9
         np.testing.assert_allclose(np.asarray(gf) / scale,
                                    np.asarray(gr) / scale,
+                                   rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("s,c_in", [(15, 96), (29, 192)])
+def test_pallas_backward_matches_reference(s, c_in):
+    """The fully-fused Pallas backward (recompute + 5 MXU passes) must
+    reproduce the XLA formulation's gradients for every operand."""
+    args = _inputs(b=2, s=s, c_in=c_in, c_mid=s * 48, seed=1)
+
+    def loss(fn):
+        return lambda *a: jnp.sum(jnp.sin(fn(*a)))
+
+    g_fused = jax.grad(
+        loss(lambda *a: dense_sandwich(*a, interpret=True,
+                                       pallas_bwd=True)),
+        argnums=(0, 1, 2, 3, 4))(*args)
+    g_ref = jax.grad(loss(reference_sandwich),
+                     argnums=(0, 1, 2, 3, 4))(*args)
+    for gf, gr in zip(g_fused, g_ref):
+        assert gf.dtype == gr.dtype and gf.shape == gr.shape
+        den = float(jnp.max(jnp.abs(gr))) + 1e-9
+        np.testing.assert_allclose(np.asarray(gf) / den,
+                                   np.asarray(gr) / den,
                                    rtol=5e-4, atol=5e-4)
 
 

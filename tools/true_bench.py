@@ -125,11 +125,14 @@ def measure_forward(batch: int = 16, k_lo: int = 4, k_hi: int = 16,
     return dt, fl
 
 
-def _hidden_flops(fused: str, batch: int) -> int:
+def _hidden_flops(fused: str, batch: int, train: bool = False) -> int:
     """Flops inside Pallas sandwich calls, invisible to cost_analysis."""
     from md_rdm_tpu.kernels.dense_sandwich import fused_hidden_flops
     from md_rdm_tpu.models.densenet import resolve_fused
-    return fused_hidden_flops(batch) if resolve_fused(fused) == "on" else 0
+    mode = resolve_fused(fused)
+    if mode in ("on", "on_all"):
+        return fused_hidden_flops(batch, mode=mode, train=train)
+    return 0
 
 
 def main():
@@ -141,7 +144,7 @@ def main():
                     choices=["calib", "fwd", "train", "train_opt",
                              "pallas", "remat", "train_opt_bf16", "fwd_opt"])
     ap.add_argument("--fused", default="auto",
-                    choices=("auto", "on", "off", "interpret"),
+                    choices=("auto", "on", "on_all", "off", "interpret"),
                     help="ModelConfig.fused_dense for every section")
     args = ap.parse_args()
 
@@ -237,9 +240,14 @@ def main():
 
         step1 = jax.jit(lambda s, xx, yy: module.train_step(s, tx, xx, yy))
         fl, byt = cost_of(step1, state0, xx_, yy_)
-        # no hidden-flop correction: the sandwich kernel routes eval-mode
-        # only (train is measured slower fused; densenet.DenseLayer), so
-        # train steps contain no Pallas sandwich calls.
+        if fl:
+            # hidden Pallas flops in the train step: the forward runs
+            # fused once and the remat recompute a second time (the
+            # custom_vjp backward re-derives via the XLA formulation,
+            # which cost_analysis does see).  Zero under "on" while the
+            # train routing table is empty.
+            fl += _hidden_flops(args.fused, bb, train=True) * (
+                2 if remat else 1)
         if fl:
             record(f"{tag}_gflops", round(fl / 1e9, 1))
             record(f"{tag}_mfu_pct", round(100 * fl / dt / V5E_PEAK_FLOPS, 1))
