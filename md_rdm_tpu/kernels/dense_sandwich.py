@@ -74,11 +74,12 @@ def supported_spatial(s: int) -> bool:
 
 # Sizes where the fused kernel beats XLA's formulation on real v5e
 # (tools/bench_sandwich.py, PERF.md round 3, full-frame kernel): 57 wins
-# decisively in both dtypes; 29/15 see "auto" routing decisions below.
-# Train-mode routing is separate: the forward gain must beat the prep
-# copy running twice under remat plus its vjp (measured per PERF.md).
+# decisively in both dtypes; 29/15 lose (too little work per program to
+# amortize the transposed-layout prep).  Train-mode measured separately
+# (--grad): at S=57 the fully-fused value+grad runs 3.51/5.57 ms vs XLA's
+# 6.33/6.90 ms (narrow/wide, bf16 b16); S=29/15 route XLA.
 _PROFITABLE_EVAL = frozenset({57})
-_PROFITABLE_TRAIN = frozenset()
+_PROFITABLE_TRAIN = frozenset({57})
 
 
 def profitable_spatial(s: int, train: bool = False) -> bool:
@@ -86,8 +87,10 @@ def profitable_spatial(s: int, train: bool = False) -> bool:
 
 
 # Sizes where the Pallas backward (not just the forward) wins in the
-# train step (populated from measurement; empty = reference backward).
-_BWD_PROFITABLE = frozenset()
+# train step: S=57 measured 1.8x over the XLA-differentiated backward
+# (pallas_fbwd 3.505 ms vs pallas_xbwd 5.490 ms vs xla 6.330 ms at
+# C_in=96, bf16 b16; tools/bench_sandwich.py --grad).
+_BWD_PROFITABLE = frozenset({57})
 
 
 def routes(s: int, train: bool, mode: str) -> bool:
@@ -458,21 +461,33 @@ def sandwich_flops(b: int, s: int, c_in: int, c_mid: int,
     return 2 * b * s * s * c_mid * (c_in + 9 * growth)
 
 
+def sandwich_bwd_flops(b: int, s: int, c_in: int, c_mid: int,
+                       growth: int = 48) -> int:
+    """Matmul flops of one fused *backward* program: z recompute (C_in) +
+    conv2-transpose (9G) + conv1-transpose (C_in) + dw1 (C_in) + dw2 (9G),
+    each a [.., C_mid] contraction over the S*S pixels."""
+    return 2 * b * s * s * c_mid * (3 * c_in + 2 * 9 * growth)
+
+
 def fused_hidden_flops(batch: int, growth: int = 48, mode: str = "on",
-                       train: bool = False) -> int:
+                       train: bool = False, bwd: bool = False) -> int:
     """Total per-forward flops hidden inside Pallas sandwich calls for the
     flagship encoder (blocks at S=57/29/15 with the reference's bn_size =
     spatial quirk, RDM_Net.py:526-531), honoring the routing for
-    ``mode``/``train``.  Benchmarks add this to XLA's cost analysis so
-    MFU stays honest when the kernel is on."""
+    ``mode``/``train``.  ``bwd`` counts the fused-backward programs
+    instead (only sizes where :func:`bwd_routes`).  Benchmarks add this
+    to XLA's cost analysis so MFU stays honest when the kernel is on."""
     total = 0
     for s, n_layers, c0 in ((57, 6, 96), (29, 12, 192), (15, 36, 384)):
-        if not routes(s, train, mode):
+        if bwd:
+            if not (routes(s, train, mode) and bwd_routes(s, mode)):
+                continue
+        elif not routes(s, train, mode):
             continue
         c_mid = s * growth
         for i in range(n_layers):
-            total += sandwich_flops(batch, s, c0 + i * growth, c_mid,
-                                    growth)
+            fn = sandwich_bwd_flops if bwd else sandwich_flops
+            total += fn(batch, s, c0 + i * growth, c_mid, growth)
     return total
 
 

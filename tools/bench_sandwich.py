@@ -29,6 +29,12 @@ def main():
     ap.add_argument("--dtype", default="bfloat16",
                     choices=("float32", "bfloat16"))
     ap.add_argument("--k", type=int, default=32)
+    ap.add_argument("--grad", action="store_true",
+                    help="measure value+grad (train-step shape) instead of "
+                         "the eval forward: xla vs pallas-fwd/xla-bwd vs "
+                         "fully-fused pallas")
+    ap.add_argument("--shapes", default=None,
+                    help="comma list of spatial sizes to restrict to")
     args = ap.parse_args()
 
     _setup()
@@ -56,10 +62,55 @@ def main():
         scale = jax.device_put(jnp.ones((c_mid,), jnp.float32), dev)
         shift = jax.device_put(jnp.zeros((c_mid,), jnp.float32), dev)
 
-        flops = 2 * args.batch * s * s * c_mid * (c_in + 9 * g)
+        if args.shapes and str(s) not in args.shapes.split(","):
+            continue
 
-        for name, fn in (("xla", reference_sandwich),
-                         ("pallas", lambda *a: dense_sandwich(*a))):
+        flops = 2 * args.batch * s * s * c_mid * (c_in + 9 * g)
+        if args.grad:
+            # fwd + dx/dw passes of both convs: ~3x the forward matmul work
+            flops *= 3
+
+        variants = (("xla", reference_sandwich),
+                    ("pallas", lambda *a: dense_sandwich(*a)))
+        if args.grad:
+            variants = (
+                ("xla", reference_sandwich),
+                ("pallas_xbwd", lambda *a: dense_sandwich(*a)),
+                ("pallas_fbwd",
+                 lambda *a: dense_sandwich(*a, pallas_bwd=True)),
+            )
+
+        for name, fn in variants:
+            if args.grad:
+                def make(k, fn=fn):
+                    def loss(xr, w1, scale, shift, w2):
+                        y = fn(xr, w1, scale, shift, w2)
+                        return jnp.sum(jnp.abs(y.astype(jnp.float32)))
+
+                    gfn = jax.grad(loss, argnums=(0, 1, 2, 3, 4))
+
+                    @jax.jit
+                    def run(xr, w1, scale, shift, w2):
+                        def body(c, _):
+                            gs = gfn(xr + (c * 1e-12).astype(dt), w1,
+                                     scale, shift, w2)
+                            tot = sum(jnp.sum(jnp.abs(g_.astype(
+                                jnp.float32))) for g_ in gs)
+                            return tot * 1e-12, None
+                        c, _ = jax.lax.scan(body, jnp.float32(0), None,
+                                            length=k)
+                        return c
+                    return lambda: float(run(xr, w1, scale, shift, w2))
+
+                dtm = scan_time(make, k_lo, k_hi)
+                mfu = 100 * flops / dtm / V5E_PEAK_FLOPS
+                key = f"s{s}c{c_in}_{name}_grad"
+                results[key + "_ms"] = round(dtm * 1e3, 3)
+                results[key + "_mfu_pct"] = round(mfu, 1)
+                print(f"S={s} C_in={c_in} C_mid={c_mid} {name} GRAD: "
+                      f"{dtm*1e3:.3f} ms  {mfu:.1f}% MFU(3x-fwd)",
+                      flush=True)
+                continue
             def make(k, fn=fn):
                 @jax.jit
                 def run(xr, w1, scale, shift, w2):
@@ -74,7 +125,7 @@ def main():
 
             dtm = scan_time(make, k_lo, k_hi)
             mfu = 100 * flops / dtm / V5E_PEAK_FLOPS
-            key = f"s{s}_{name}"
+            key = f"s{s}c{c_in}_{name}"
             results[key + "_ms"] = round(dtm * 1e3, 3)
             results[key + "_mfu_pct"] = round(mfu, 1)
             print(f"S={s} C_in={c_in} C_mid={c_mid} {name}: "

@@ -125,13 +125,14 @@ def measure_forward(batch: int = 16, k_lo: int = 4, k_hi: int = 16,
     return dt, fl
 
 
-def _hidden_flops(fused: str, batch: int, train: bool = False) -> int:
+def _hidden_flops(fused: str, batch: int, train: bool = False,
+                  bwd: bool = False) -> int:
     """Flops inside Pallas sandwich calls, invisible to cost_analysis."""
     from md_rdm_tpu.kernels.dense_sandwich import fused_hidden_flops
     from md_rdm_tpu.models.densenet import resolve_fused
     mode = resolve_fused(fused)
-    if mode in ("on", "on_all"):
-        return fused_hidden_flops(batch, mode=mode, train=train)
+    if mode in ("on", "on_all", "on_all_bwd"):
+        return fused_hidden_flops(batch, mode=mode, train=train, bwd=bwd)
     return 0
 
 
@@ -241,13 +242,14 @@ def main():
         step1 = jax.jit(lambda s, xx, yy: module.train_step(s, tx, xx, yy))
         fl, byt = cost_of(step1, state0, xx_, yy_)
         if fl:
-            # hidden Pallas flops in the train step: the forward runs
-            # fused once and the remat recompute a second time (the
-            # custom_vjp backward re-derives via the XLA formulation,
-            # which cost_analysis does see).  Zero under "on" while the
-            # train routing table is empty.
-            fl += _hidden_flops(args.fused, bb, train=True) * (
-                2 if remat else 1)
+            # hidden Pallas flops in the train step.  HLO inspection of
+            # the compiled fused bf16 step (tools, round 3) shows remat's
+            # backward replay DCEs the fused forward when the Pallas
+            # backward routes (custom_vjp residuals are the layer inputs,
+            # recomputable without the kernel), so: one fwd program per
+            # fused layer + one bwd program per bwd-routed layer.
+            fl += _hidden_flops(args.fused, bb, train=True)
+            fl += _hidden_flops(args.fused, bb, train=True, bwd=True)
         if fl:
             record(f"{tag}_gflops", round(fl / 1e9, 1))
             record(f"{tag}_mfu_pct", round(100 * fl / dt / V5E_PEAK_FLOPS, 1))
