@@ -31,6 +31,10 @@ def build_parser():
                         "(criteria.MaskedL1Loss), 'berhu' the legacy "
                         "berHuLoss (main.py:169)")
     p.add_argument("--num_images", type=int, default=-1)
+    p.add_argument("--val_samples", type=int, default=0,
+                   help="Draw N samples with replacement (uniform weights) "
+                        "instead of streaming the split in order - the "
+                        "WeightedRandomSampler role (main.py:83-85)")
     p.add_argument("--batch_size", type=int, default=1,
                    help="Eval batch size (the reference evaluates at 1; "
                         "larger batches amortize dispatch)")
@@ -96,7 +100,12 @@ def main(argv=None):
         from md_rdm_tpu.data.structured3d import Structured3DDataset
         ds = Structured3DDataset(args.data_path, split=args.split)
 
-    loader = DataLoader(ds, args.batch_size, shuffle=False)
+    if args.val_samples:
+        loader = DataLoader(ds, args.batch_size,
+                            sample_weights=np.ones(len(ds)),
+                            num_samples=args.val_samples)
+    else:
+        loader = DataLoader(ds, args.batch_size, shuffle=False)
 
     tx = make_optimizer(config.train.learning_rate)
     x0, _ = ds[0]

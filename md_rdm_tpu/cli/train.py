@@ -52,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "evaluates at 1; larger batches amortize dispatch "
                         "and fill the mesh - padded tails are masked out "
                         "of the metrics)")
+    p.add_argument("--val_samples", type=int, default=None,
+                   help="Draw N validation samples per epoch with "
+                        "replacement (the WeightedRandomSampler role, "
+                        "reference main.py:83-85,102-104). Default: 3200 "
+                        "for kitti - the reference's choice - else off; "
+                        "0 disables explicitly")
     p.add_argument("--nyu_path", type=str, default=None,
                    help="Path to NYU data set")
     p.add_argument("--dataset", type=str, default="nyu",
@@ -140,8 +146,21 @@ def make_datasets(args):
 
     train_loader = DataLoader(train_ds, args.batch_size, shuffle=True,
                               num_workers=args.worker, drop_last=True)
-    val_loader = DataLoader(val_ds, args.eval_batch_size, shuffle=False,
-                            num_workers=1)
+    # WeightedRandomSampler role (main.py:83-85): kitti validates on 3200
+    # uniformly-resampled (with replacement) images per epoch at the TRAIN
+    # batch size (main.py:102-104); other datasets stream the whole val set
+    val_samples = args.val_samples
+    if val_samples is None:
+        val_samples = 3200 if args.dataset == "kitti" else 0
+    if val_samples:
+        val_loader = DataLoader(val_ds, args.batch_size,
+                                num_workers=args.worker,
+                                sample_weights=np.ones(len(val_ds)),
+                                num_samples=val_samples,
+                                seed=args.seed or 0)
+    else:
+        val_loader = DataLoader(val_ds, args.eval_batch_size, shuffle=False,
+                                num_workers=1)
     return train_loader, val_loader
 
 

@@ -482,12 +482,20 @@ def fused_hidden_flops(batch: int, growth: int = 48, mode: str = "on",
         if bwd:
             if not (routes(s, train, mode) and bwd_routes(s, mode)):
                 continue
-        elif not routes(s, train, mode):
-            continue
+            mult = 1
+        else:
+            if not routes(s, train, mode):
+                continue
+            # In a remat train step the backward replays the fused forward
+            # UNLESS the Pallas backward also routes - then the custom_vjp
+            # residuals are the layer inputs and XLA DCEs the replay
+            # (verified by HLO inspection, round 3).  Fwd-routed-but-not-
+            # bwd-routed layers therefore execute the forward twice.
+            mult = 2 if train and not bwd_routes(s, mode) else 1
         c_mid = s * growth
         for i in range(n_layers):
             fn = sandwich_bwd_flops if bwd else sandwich_flops
-            total += fn(batch, s, c0 + i * growth, c_mid, growth)
+            total += mult * fn(batch, s, c0 + i * growth, c_mid, growth)
     return total
 
 

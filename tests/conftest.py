@@ -31,6 +31,23 @@ sys.dont_write_bytecode = True
 REFERENCE_DIR = "/root/reference"
 
 
+# Two test tiers (VERDICT r3 #8): `pytest -m fast` = the quick
+# ops/data/kernel subset (< ~4 min, no full-model compile); everything else
+# is marked slow (multi-minute XLA CPU compiles of the full model).
+FAST_MODULES = {
+    "test_ops_parity", "test_data_and_aux", "test_dataset_fixtures",
+    "test_dense_sandwich", "test_nyu_dataset", "test_native",
+    "test_grouped_als", "test_inventory_extras", "test_cli",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+    for item in items:
+        tier = ("fast" if item.module.__name__ in FAST_MODULES else "slow")
+        item.add_marker(getattr(pytest.mark, tier))
+
+
 def reference_importable() -> bool:
     return os.path.isdir(REFERENCE_DIR)
 

@@ -43,6 +43,24 @@ def test_decoder_selection():
     assert args.decoders == [1, 6, 7, 8, 9]
 
 
+def test_val_samples_wiring_synthetic():
+    """--val_samples N wires DataLoader(sample_weights, num_samples) on any
+    dataset (WeightedRandomSampler role, main.py:83-85); default off for
+    non-kitti."""
+    from md_rdm_tpu.cli.train import make_datasets
+
+    args = train_parser().parse_args(
+        ["--dataset", "synthetic", "--batch_size", "4",
+         "--val_samples", "12", "--synthetic_size", "8", "--seed", "0"])
+    _, vl = make_datasets(args)
+    assert vl.num_samples == 12 and vl.batch_size == 4
+    assert sum(x.shape[0] for x, _ in vl) == 12
+
+    args = train_parser().parse_args(["--dataset", "synthetic"])
+    _, vl = make_datasets(args)
+    assert vl.num_samples is None
+
+
 def test_eval_flags():
     args = eval_parser().parse_args(
         ["--checkpoint", "ck", "--grid_out", "g.png", "--best_txt", "b.txt"])

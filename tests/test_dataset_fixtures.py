@@ -58,6 +58,26 @@ def test_kitti_val_deterministic(kitti_root):
     assert a0.shape == (228, 912, 3) and d0.shape == (228, 912)
 
 
+def test_kitti_val_weighted_sampler_wiring(kitti_root):
+    """The train CLI wires the WeightedRandomSampler role for kitti by
+    default (main.py:83-85,102-104): 3200 uniformly-resampled val images
+    per epoch, drawn with replacement, at the TRAIN batch size."""
+    from md_rdm_tpu.cli.train import build_parser, make_datasets
+
+    args = build_parser().parse_args(
+        ["--dataset", "kitti", "--data_path", str(kitti_root),
+         "--batch_size", "4", "--seed", "0"])
+    _, vl = make_datasets(args)
+    assert vl.num_samples == 3200 and vl.batch_size == 4
+    assert vl.sample_weights is not None and len(vl) == 800
+    # an explicit 0 disables the sampler: ordered streaming at eval bs
+    args = build_parser().parse_args(
+        ["--dataset", "kitti", "--data_path", str(kitti_root),
+         "--val_samples", "0"])
+    _, vl = make_datasets(args)
+    assert vl.num_samples is None and vl.batch_size == 1
+
+
 def test_kitti_missing_root(tmp_path):
     from md_rdm_tpu.data.kitti import KITTIDataset
 

@@ -57,11 +57,15 @@ def test_custom_vjp_grads_match_reference():
                                    rtol=5e-4, atol=5e-4)
 
 
-@pytest.mark.parametrize("s,c_in", [(15, 96), (29, 192)])
-def test_pallas_backward_matches_reference(s, c_in):
+@pytest.mark.parametrize("b,s,c_in", [(2, 15, 96), (2, 29, 192),
+                                      (1, 57, 336)])
+def test_pallas_backward_matches_reference(b, s, c_in):
     """The fully-fused Pallas backward (recompute + 5 MXU passes) must
-    reproduce the XLA formulation's gradients for every operand."""
-    args = _inputs(b=2, s=s, c_in=c_in, c_mid=s * 48, seed=1)
+    reproduce the XLA formulation's gradients for every operand.  S=57 is
+    the shape production routes through the fused backward
+    (_BWD_PROFITABLE), so it is covered at reduced batch (interpret mode
+    is slow at full frame)."""
+    args = _inputs(b=b, s=s, c_in=c_in, c_mid=s * 48, seed=1)
 
     def loss(fn):
         return lambda *a: jnp.sum(jnp.sin(fn(*a)))

@@ -67,8 +67,10 @@ def main():
 
         flops = 2 * args.batch * s * s * c_mid * (c_in + 9 * g)
         if args.grad:
-            # fwd + dx/dw passes of both convs: ~3x the forward matmul work
-            flops *= 3
+            # exact fwd+bwd matmul work: forward + the five backward
+            # contractions (z recompute, conv-transposes, dw1, dw2)
+            from md_rdm_tpu.kernels.dense_sandwich import sandwich_bwd_flops
+            flops += sandwich_bwd_flops(args.batch, s, c_in, c_mid, g)
 
         variants = (("xla", reference_sandwich),
                     ("pallas", lambda *a: dense_sandwich(*a)))
@@ -108,7 +110,7 @@ def main():
                 results[key + "_ms"] = round(dtm * 1e3, 3)
                 results[key + "_mfu_pct"] = round(mfu, 1)
                 print(f"S={s} C_in={c_in} C_mid={c_mid} {name} GRAD: "
-                      f"{dtm*1e3:.3f} ms  {mfu:.1f}% MFU(3x-fwd)",
+                      f"{dtm*1e3:.3f} ms  {mfu:.1f}% MFU(fwd+bwd)",
                       flush=True)
                 continue
             def make(k, fn=fn):
