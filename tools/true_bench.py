@@ -48,6 +48,27 @@ def scan_time(make_scan, k_lo, k_hi, repeats=3):
     return (times[k_hi] - times[k_lo]) / (k_hi - k_lo)
 
 
+def dyn_scan_time(run, k_lo, k_hi, repeats=3):
+    """Like scan_time, but ``run(k)`` executes ONE compiled program whose
+    trip count k is a dynamic argument (lax.fori_loop / while_loop), so the
+    k_lo and k_hi timings share a single compile - halves the compile
+    surface vs the static-scan variant (bench budget, VERDICT r3 #1)."""
+    import sys
+    t0 = time.perf_counter()
+    run(k_hi)                                  # compile + warm
+    print(f"  [true_bench] compile+warm done in "
+          f"{time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
+    times = {}
+    for k in (k_lo, k_hi):
+        best = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            run(k)
+            best.append(time.perf_counter() - t0)
+        times[k] = min(best)
+    return (times[k_hi] - times[k_lo]) / (k_hi - k_lo)
+
+
 def _setup():
     import os
     import sys
@@ -81,9 +102,14 @@ def flops_of(jitted, *a):
 
 def measure_forward(batch: int = 16, k_lo: int = 4, k_hi: int = 16,
                     dtype: str = "float32", decoder_ids=(1,),
-                    fused: str = "auto"):
-    """(seconds per forward, flops per forward) for the given decoder set,
-    scan-chained + overhead-differenced (see module docstring)."""
+                    fused: str = "auto", flops: bool = True, on_dt=None):
+    """(seconds per forward, flops per forward) for the given decoder set.
+
+    K forwards run inside ONE jit via ``lax.fori_loop`` with a *dynamic*
+    trip count (loop-carried operand so XLA cannot elide the body); the two
+    K values share a single compiled program, and differencing them cancels
+    dispatch/fetch overhead exactly as the static-scan variant did."""
+    import sys
     _setup()
     import numpy as np
     import jax
@@ -97,31 +123,35 @@ def measure_forward(batch: int = 16, k_lo: int = 4, k_hi: int = 16,
     model = DepthEstimationNet(
         ModelConfig(decoder_ids=tuple(decoder_ids), compute_dtype=dtype,
                     fused_dense=fused))
+    print(f"  [true_bench] init model (dtype={dtype} fused={fused})",
+          file=sys.stderr, flush=True)
     variables = jax.device_put(
         model.init(jax.random.PRNGKey(0), x[:1], train=False),
         jax.devices()[0])
 
-    def make(k):
-        @jax.jit
-        def run(v, x):
-            def body(c, _):
-                yhat, d, _p = model.apply(v, x + c * 1e-12, train=False)
-                f = recombination(list(yhat))
-                return jnp.sum(f) * 1e-9, None
-            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=k)
-            return c
-        return lambda: float(run(variables, x))
-
-    dt = scan_time(make, k_lo, k_hi)
-
     @jax.jit
-    def fwd1(v, x):
-        yhat, d, _p = model.apply(v, x, train=False)
-        return recombination(list(yhat))
+    def run(v, x, k):
+        def body(i, c):
+            yhat, d, _p = model.apply(v, x + c * 1e-12, train=False)
+            f = recombination(list(yhat))
+            return jnp.sum(f) * 1e-9
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 
-    fl = flops_of(fwd1, variables, x)
-    if fl:
-        fl += _hidden_flops(fused, batch)
+    dt = dyn_scan_time(lambda k: float(run(variables, x, jnp.int32(k))),
+                       k_lo, k_hi)
+    if on_dt is not None:
+        on_dt(dt)
+
+    fl = 0.0
+    if flops:
+        @jax.jit
+        def fwd1(v, x):
+            yhat, d, _p = model.apply(v, x, train=False)
+            return recombination(list(yhat))
+
+        fl = flops_of(fwd1, variables, x)
+        if fl:
+            fl += _hidden_flops(fused, batch)
     return dt, fl
 
 
@@ -136,18 +166,51 @@ def _hidden_flops(fused: str, batch: int, train: bool = False,
     return 0
 
 
+def forward_json(batch: int, k_lo: int, k_hi: int, dtype: str,
+                 fused: str) -> None:
+    """Single-dtype forward measurement for the bench.py orchestrator.
+
+    Prints PROGRESSIVE JSON lines to stdout (each a superset of the last):
+    first the timing-only result as soon as dt exists, then the
+    flops-enriched one.  If the parent kills this process mid-flops (budget
+    exceeded), the timing line already printed is still parseable."""
+    out = {"dtype": dtype, "fused": fused, "batch": batch}
+
+    def on_dt(dt):
+        out.update(dt_s=dt, img_per_s=batch / dt)
+        print(json.dumps(out), flush=True)
+
+    dt, fl = measure_forward(batch, k_lo, k_hi, dtype, fused=fused,
+                             flops=True, on_dt=on_dt)
+    if fl:
+        out["flops"] = fl
+        out["mfu_pct"] = round(100 * fl / dt / V5E_PEAK_FLOPS, 2)
+        out["gflops_per_image"] = round(fl / batch / 1e9, 1)
+    print(json.dumps(out), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--k", type=int, default=16)
+    ap.add_argument("--forward_json", default=None,
+                    choices=("bfloat16", "float32"),
+                    help="stage mode for bench.py: measure one dtype's "
+                         "forward, print progressive JSON lines, exit")
     ap.add_argument("--sections", nargs="*",
                     default=["calib", "fwd", "train", "train_opt"],
                     choices=["calib", "fwd", "train", "train_opt",
                              "pallas", "remat", "train_opt_bf16", "fwd_opt"])
     ap.add_argument("--fused", default="auto",
-                    choices=("auto", "on", "on_all", "off", "interpret"),
+                    choices=("auto", "on", "on_all", "on_all_bwd", "off",
+                             "interpret"),
                     help="ModelConfig.fused_dense for every section")
     args = ap.parse_args()
+
+    if args.forward_json:
+        forward_json(args.batch, max(args.k // 4, 1), args.k,
+                     args.forward_json, args.fused)
+        return
 
     _setup()
     import numpy as np
@@ -242,12 +305,12 @@ def main():
         step1 = jax.jit(lambda s, xx, yy: module.train_step(s, tx, xx, yy))
         fl, byt = cost_of(step1, state0, xx_, yy_)
         if fl:
-            # hidden Pallas flops in the train step.  HLO inspection of
-            # the compiled fused bf16 step (tools, round 3) shows remat's
-            # backward replay DCEs the fused forward when the Pallas
-            # backward routes (custom_vjp residuals are the layer inputs,
-            # recomputable without the kernel), so: one fwd program per
-            # fused layer + one bwd program per bwd-routed layer.
+            # hidden Pallas flops in the train step: fused_hidden_flops
+            # counts the remat backward's forward replay (x2) for layers
+            # whose fwd routes but bwd doesn't, and a single forward for
+            # bwd-routed layers (HLO inspection, round 3: the custom_vjp
+            # residuals are the layer inputs, so XLA DCEs their replay),
+            # plus one bwd program per bwd-routed layer.
             fl += _hidden_flops(args.fused, bb, train=True)
             fl += _hidden_flops(args.fused, bb, train=True, bwd=True)
         if fl:
