@@ -425,19 +425,33 @@ def reference_sandwich(xr, w1, scale, shift, w2):
                                     dimension_numbers=dn)
 
 
+# Per-spatial-size kernel layout: "cp" = the transposed [C, pixels]
+# kernel above; "nhwc" = the NHWC-native variant (pixels on sublanes, no
+# prep transposes - kernels/dense_sandwich_nhwc.py).  Populated from
+# measurement (tools/bench_sandwich.py --layout).
+_LAYOUT = {57: "cp", 29: "cp", 15: "cp"}
+
+
 @functools.lru_cache(maxsize=None)
-def _make_fused(interpret: bool, pallas_bwd: bool = False):
+def _make_fused(interpret: bool, pallas_bwd: bool = False,
+                layout: str = "cp"):
+    if layout == "nhwc":
+        from md_rdm_tpu.kernels.dense_sandwich_nhwc import (
+            sandwich_nhwc, sandwich_nhwc_bwd)
+        fwd_impl, bwd_impl = sandwich_nhwc, sandwich_nhwc_bwd
+    else:
+        fwd_impl, bwd_impl = _pallas_sandwich, _pallas_sandwich_bwd
+
     @jax.custom_vjp
     def fused(xr, w1, scale, shift, w2):
-        return _pallas_sandwich(xr, w1, scale, shift, w2,
-                                interpret=interpret)
+        return fwd_impl(xr, w1, scale, shift, w2, interpret=interpret)
 
     def fwd(xr, w1, scale, shift, w2):
         return fused(xr, w1, scale, shift, w2), (xr, w1, scale, shift, w2)
 
     def bwd(res, g):
         if pallas_bwd:
-            return _pallas_sandwich_bwd(*res, g, interpret=interpret)
+            return bwd_impl(*res, g, interpret=interpret)
         _, vjp = jax.vjp(reference_sandwich, *res)
         return vjp(g)
 
@@ -446,12 +460,15 @@ def _make_fused(interpret: bool, pallas_bwd: bool = False):
 
 
 def dense_sandwich(xr, w1, scale, shift, w2, *, use_pallas=True,
-                   interpret=False, pallas_bwd=False):
+                   interpret=False, pallas_bwd=False, layout=None):
     """Public entry: fused Pallas sandwich (grad-safe) or the XLA
-    reference formulation when ``use_pallas`` is False / unsupported."""
+    reference formulation when ``use_pallas`` is False / unsupported.
+    ``layout`` overrides the measured per-size :data:`_LAYOUT` choice."""
     if not use_pallas or not supported_spatial(xr.shape[1]):
         return reference_sandwich(xr, w1, scale, shift, w2)
-    return _make_fused(interpret, pallas_bwd)(xr, w1, scale, shift, w2)
+    layout = layout or _LAYOUT[xr.shape[1]]
+    return _make_fused(interpret, pallas_bwd, layout)(
+        xr, w1, scale, shift, w2)
 
 
 def sandwich_flops(b: int, s: int, c_in: int, c_mid: int,

@@ -40,6 +40,16 @@ def test_kernel_matches_reference(s, c_in):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("s,c_in", [(15, 96), (29, 192), (57, 336)])
+def test_nhwc_kernel_matches_reference(s, c_in):
+    from md_rdm_tpu.kernels.dense_sandwich_nhwc import sandwich_nhwc
+    args = _inputs(b=2, s=s, c_in=c_in, c_mid=s * 48)
+    want = reference_sandwich(*args)
+    got = sandwich_nhwc(*args, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_custom_vjp_grads_match_reference():
     args = _inputs()
 
@@ -73,6 +83,30 @@ def test_pallas_backward_matches_reference(b, s, c_in):
     g_fused = jax.grad(
         loss(lambda *a: dense_sandwich(*a, interpret=True,
                                        pallas_bwd=True)),
+        argnums=(0, 1, 2, 3, 4))(*args)
+    g_ref = jax.grad(loss(reference_sandwich),
+                     argnums=(0, 1, 2, 3, 4))(*args)
+    for gf, gr in zip(g_fused, g_ref):
+        assert gf.dtype == gr.dtype and gf.shape == gr.shape
+        den = float(jnp.max(jnp.abs(gr))) + 1e-9
+        np.testing.assert_allclose(np.asarray(gf) / den,
+                                   np.asarray(gr) / den,
+                                   rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("b,s,c_in", [(2, 15, 96), (2, 29, 192),
+                                      (1, 57, 336)])
+def test_nhwc_backward_matches_reference(b, s, c_in):
+    """The NHWC-layout fused backward must reproduce the XLA
+    formulation's gradients for every operand at every supported size."""
+    args = _inputs(b=b, s=s, c_in=c_in, c_mid=s * 48, seed=1)
+
+    def loss(fn):
+        return lambda *a: jnp.sum(jnp.sin(fn(*a)))
+
+    g_fused = jax.grad(
+        loss(lambda *a: dense_sandwich(*a, interpret=True, pallas_bwd=True,
+                                       layout="nhwc")),
         argnums=(0, 1, 2, 3, 4))(*args)
     g_ref = jax.grad(loss(reference_sandwich),
                      argnums=(0, 1, 2, 3, 4))(*args)

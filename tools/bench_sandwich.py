@@ -35,6 +35,9 @@ def main():
                          "fully-fused pallas")
     ap.add_argument("--shapes", default=None,
                     help="comma list of spatial sizes to restrict to")
+    ap.add_argument("--layout", default="cp", choices=("cp", "nhwc"),
+                    help="Pallas kernel layout: cp = transposed "
+                         "[C, pixels]; nhwc = native (no prep transposes)")
     args = ap.parse_args()
 
     _setup()
@@ -72,14 +75,17 @@ def main():
             from md_rdm_tpu.kernels.dense_sandwich import sandwich_bwd_flops
             flops += sandwich_bwd_flops(args.batch, s, c_in, c_mid, g)
 
+        lay = args.layout
         variants = (("xla", reference_sandwich),
-                    ("pallas", lambda *a: dense_sandwich(*a)))
+                    (f"pallas_{lay}",
+                     lambda *a: dense_sandwich(*a, layout=lay)))
         if args.grad:
             variants = (
                 ("xla", reference_sandwich),
-                ("pallas_xbwd", lambda *a: dense_sandwich(*a)),
-                ("pallas_fbwd",
-                 lambda *a: dense_sandwich(*a, pallas_bwd=True)),
+                (f"pallas_{lay}_xbwd",
+                 lambda *a: dense_sandwich(*a, layout=lay)),
+                (f"pallas_{lay}_fbwd",
+                 lambda *a: dense_sandwich(*a, pallas_bwd=True, layout=lay)),
             )
 
         for name, fn in variants:
