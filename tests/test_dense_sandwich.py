@@ -148,6 +148,33 @@ def _layer_pair(train, seed=0):
     return plain, fused, v, v2, x
 
 
+def test_full_model_init_structure_fused_invariant():
+    """Whole-model init variable tree is identical across fused_dense
+    modes (shape-level, via eval_shape - no execution).  The bench and
+    driver entry points rely on this: they draw initial weights from the
+    fused_dense="off" graph on the host CPU backend (no Pallas lowering)
+    and apply them to the fused graph on the TPU (tools/true_bench.py,
+    __graft_entry__.entry)."""
+    from md_rdm_tpu.core.config import ModelConfig
+    from md_rdm_tpu.models.rdm import DepthEstimationNet
+
+    x = np.zeros((1, 226, 226, 3), np.float32)
+    key = jax.random.PRNGKey(0)
+
+    def shapes(mode):
+        m = DepthEstimationNet(ModelConfig(decoder_ids=(1,),
+                                           fused_dense=mode))
+        return jax.eval_shape(lambda k, xx: m.init(k, xx, train=False),
+                              key, x)
+
+    s_off, s_int = shapes("off"), shapes("interpret")
+    assert (jax.tree_util.tree_structure(s_off)
+            == jax.tree_util.tree_structure(s_int))
+    for a, b in zip(jax.tree_util.tree_leaves(s_off),
+                    jax.tree_util.tree_leaves(s_int)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+
+
 def test_fused_layer_param_tree_bitwise_identical():
     _, _, v, v2, _ = _layer_pair(train=False)
     flat1 = jax.tree_util.tree_flatten_with_path(v)[0]

@@ -25,7 +25,7 @@ def main():
     ap.add_argument("--no_remat", dest="remat", action="store_false",
                     default=True)
     ap.add_argument("--fused", default="auto",
-                    choices=("auto", "on", "on_all", "off"),
+                    choices=("auto", "on", "on_all", "on_all_bwd", "off"),
                     help="ModelConfig.fused_dense (Pallas dense sandwich)")
     ap.add_argument("--out", default="/tmp/md_rdm_trace")
     args = ap.parse_args()

@@ -82,6 +82,27 @@ def _setup():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
+    # Register the host CPU backend NEXT TO the pinned axon TPU backend
+    # (axon stays the default): model/optimizer init then compiles on the
+    # host instead of paying a 10-20 min cold relay compile just to draw
+    # initial weights (the round-3/round-4 bench timeouts died in init).
+    if os.environ.get("JAX_PLATFORMS") == "axon":
+        try:
+            jax.config.update("jax_platforms", "axon,cpu")
+        except Exception:
+            pass
+
+
+def _init_on_cpu(thunk):
+    """Run an init thunk on the host CPU backend when available (relay
+    independence - see _setup); falls back to the default device."""
+    import jax
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        return thunk()
+    with jax.default_device(cpu):
+        return thunk()
 
 
 def cost_of(jitted, *a):
@@ -125,9 +146,20 @@ def measure_forward(batch: int = 16, k_lo: int = 4, k_hi: int = 16,
                     fused_dense=fused))
     print(f"  [true_bench] init model (dtype={dtype} fused={fused})",
           file=sys.stderr, flush=True)
-    variables = jax.device_put(
-        model.init(jax.random.PRNGKey(0), x[:1], train=False),
-        jax.devices()[0])
+    # Init on the host CPU: the fused and unfused graphs register
+    # identical params/variables by construction (_Kernel/_FoldedNorm,
+    # models/densenet.py), so drawing weights from the fused_dense="off"
+    # graph avoids lowering Pallas TPU kernels on the CPU backend.
+    init_model = DepthEstimationNet(
+        ModelConfig(decoder_ids=tuple(decoder_ids), compute_dtype=dtype,
+                    fused_dense="off"))
+    x1 = np.asarray(rng.random((1, 226, 226, 3)), np.float32)
+    t0 = time.perf_counter()
+    variables = _init_on_cpu(
+        lambda: init_model.init(jax.random.PRNGKey(0), x1, train=False))
+    variables = jax.device_put(variables, jax.devices()[0])
+    print(f"  [true_bench] init done in {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
 
     @jax.jit
     def run(v, x, k):
@@ -284,8 +316,14 @@ def main():
                      train=TrainConfig(metrics=("delta1", "mse")))
         module = DepthTrainer(cfg)
         tx = make_optimizer(1e-4)
-        state0 = jax.device_put(
-            module.init(jax.random.PRNGKey(0), tx, xx_[:1]), dev)
+        # init on host CPU (identical param structure, see measure_forward)
+        init_module = DepthTrainer(Config(
+            model=ModelConfig(decoder_ids=decoder_ids, compute_dtype=dtype,
+                              remat=remat, fused_dense="off"),
+            train=TrainConfig(metrics=("delta1", "mse"))))
+        x1 = np.asarray(jax.device_get(xx_[:1]))
+        state0 = jax.device_put(_init_on_cpu(
+            lambda: init_module.init(jax.random.PRNGKey(0), tx, x1)), dev)
 
         def make(k):
             @jax.jit
