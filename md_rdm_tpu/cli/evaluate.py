@@ -54,8 +54,10 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
-    from md_rdm_tpu.core.platform import select_platform
+    from md_rdm_tpu.core.platform import (enable_compile_cache,
+                                           select_platform)
     select_platform(args.platform)
+    enable_compile_cache()
 
     import jax
     import jax.numpy as jnp

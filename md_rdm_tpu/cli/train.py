@@ -198,8 +198,10 @@ def find_learning_rate(trainer, state, loader, lo=1e-7, hi=1.0,
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
-    from md_rdm_tpu.core.platform import select_platform
+    from md_rdm_tpu.core.platform import (enable_compile_cache,
+                                           select_platform)
     select_platform(args.platform, args.host_devices)
+    enable_compile_cache()
 
     if args.seed is None:
         args.seed = random.randrange(4294967295)
