@@ -428,7 +428,11 @@ def reference_sandwich(xr, w1, scale, shift, w2):
 # Per-spatial-size kernel layout: "cp" = the transposed [C, pixels]
 # kernel above; "nhwc" = the NHWC-native variant (pixels on sublanes, no
 # prep transposes - kernels/dense_sandwich_nhwc.py).  Populated from
-# measurement (tools/bench_sandwich.py --layout).
+# measurement (tools/bench_sandwich.py --layout): on real v5e the cp
+# layout wins every routed shape in both fwd and fwd+bwd (S=57 c96 fwd
+# 1.22 vs 1.80 ms, fbwd 3.51 vs 4.52 ms; PERF.md round 4) - the one-time
+# transpose buys dense [C, 128k] contractions, while NHWC's padded
+# S*(S+2) pixel axis fragments every tap's matmul.
 _LAYOUT = {57: "cp", 29: "cp", 15: "cp"}
 
 
