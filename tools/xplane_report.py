@@ -65,27 +65,55 @@ def iter_events(plane, line_name="XLA Ops"):
             yield meta.get(ev.metadata_id, "?"), ev.duration_ps, stats
 
 
-CATEGORIES = (
-    ("copy/transfer", re.compile(r"copy|transpose[._-]?start|infeed|outfeed",
-                                 re.I)),
-    ("conv-bwd-filter", re.compile(
-        r"(gradients|backward).*filter|filter.*backward|"
-        r"%?convolution.*filter_backprop", re.I)),
-    ("conv-bwd-input", re.compile(
-        r"(gradients|backward).*input|input.*backward", re.I)),
-    ("convolution", re.compile(r"convolution|conv[0-9._-]", re.I)),
-    ("matmul/dot", re.compile(r"\bdot\b|dot_general|matmul", re.I)),
-    ("while/scan(ALS)", re.compile(r"while|scan", re.I)),
-    ("reduce", re.compile(r"reduce", re.I)),
-    ("fusion", re.compile(r"fusion", re.I)),
-    ("all-reduce", re.compile(r"all-reduce|psum", re.I)),
-)
+# The event name is the full HLO instruction text, e.g.
+#   %convert_reduce_fusion.8 = (f32[2736]{...}, ...) fusion(bf16[...] %pad.59)
+# Categorize by the instruction's OPCODE (the token between the result
+# type and the operand list), NOT by substring over the whole text — the
+# operand list embeds other ops' labels (`... fusion(... %copy.955)`), so
+# a text match files compute fusions under "copy".  Fusions are split by
+# their label, which XLA derives from the fused root/content
+# (convolution_add_fusion, convert_reduce_fusion, ...).
+_OPCODE_RE = re.compile(r"[}\])]\s+([a-z][a-z0-9-]*)\(")
+
+
+def _label_and_opcode(name: str):
+    label = name.split(" = ", 1)[0].lstrip("%").strip()
+    label = re.sub(r"\.\d+$", "", label)
+    m = _OPCODE_RE.search(name)
+    return label, (m.group(1) if m else label)
+
+
+_LAYOUT_OPS = frozenset({
+    "copy", "copy-start", "copy-done", "transpose", "pad", "reshape",
+    "bitcast", "concatenate", "slice", "dynamic-slice",
+    "dynamic-update-slice", "gather", "scatter", "infeed", "outfeed",
+    "all-gather-start", "all-gather-done"})
 
 
 def categorize(name: str) -> str:
-    for cat, pat in CATEGORIES:
-        if pat.search(name):
-            return cat
+    label, opcode = _label_and_opcode(name)
+    if opcode in _LAYOUT_OPS:
+        return "copy/layout"
+    if opcode == "custom-call":
+        return "custom-call (Pallas)"
+    if opcode == "convolution":
+        return "convolution"
+    if opcode in ("dot", "dot-general"):
+        return "matmul/dot"
+    if opcode == "while":
+        return "while/scan(ALS)"
+    if opcode in ("reduce", "reduce-window", "select-and-scatter"):
+        return "reduce/pool"
+    if opcode in ("all-reduce", "all-reduce-start", "reduce-scatter"):
+        return "collective"
+    if opcode == "fusion":
+        if "conv" in label and "convert" not in label:
+            return "fusion:conv"
+        if "reduce" in label:
+            return "fusion:reduce"
+        if re.search(r"copy|transpose|pad", label):
+            return "fusion:layout"
+        return "fusion:other"
     return "other"
 
 
