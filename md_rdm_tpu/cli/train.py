@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--detect_anomaly", action="store_true",
                    help="Enable jax_debug_nans")
     p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--plateau_patience", type=int, default=2,
+                   help="ReduceLROnPlateau patience in epochs (reference "
+                        "train.py:44 hardcodes 2; raise for from-scratch "
+                        "runs where val_delta1 moves slowly)")
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--eval_batch_size", type=int, default=1,
                    help="Validation batch size (reference module.py:24-28 "
@@ -229,6 +233,7 @@ def main(argv=None):
                         download=args.download),
         train=TrainConfig(
             learning_rate=args.learning_rate,
+            plateau_patience=args.plateau_patience,
             min_epochs=args.min_epochs, max_epochs=args.max_epochs,
             metrics_space="linear" if args.linear_metrics else "faithful",
             seed=args.seed, metrics=tuple(args.metrics),

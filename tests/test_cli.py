@@ -31,6 +31,9 @@ def test_train_flag_defaults_match_reference():
     assert args.metrics == ["delta1", "delta2", "delta3", "mse", "mae",
                             "log10", "rmse"]     # train.py:17
     assert args.min_epochs == 1 and args.max_epochs == 1
+    # ReduceLROnPlateau patience: reference train.py:44 hardcodes 2; the
+    # CLI exposes it (round 4) so from-scratch runs can defer the decay
+    assert args.plateau_patience == 2
 
 
 def test_gpus_alias():
