@@ -53,6 +53,8 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.best_txt and "rms" not in args.metrics:
+        args.metrics.append("rms")   # best.txt ranks by standard RMSE
 
     from md_rdm_tpu.core.platform import (enable_compile_cache,
                                            select_platform)
@@ -114,7 +116,9 @@ def main(argv=None):
     sample = jnp.asarray(np.asarray(x0, np.float32)[None])
     state = module.init(jax.random.PRNGKey(0), tx, sample)
     mgr = CheckpointManager(args.checkpoint, monitor=config.train.monitor)
-    step, state, _ = mgr.restore(jax.device_get(state))
+    # eval-side restore: model sub-trees only, so checkpoints written by
+    # param-group (fast_modules) runs restore regardless of optimizer shape
+    step, state = mgr.restore_eval(jax.device_get(state))
     print(f"restored checkpoint step {step}")
 
     predict = jax.jit(module.predict_step)
@@ -125,7 +129,7 @@ def main(argv=None):
 
     eval_metrics = jax.jit(
         lambda p, t: compute_metrics(_metric_pred(p), t,
-                                     tuple(args.metrics)))
+                                     tuple(args.metrics), per_sample=True))
 
     acc = MetricAccumulator(args.metrics)
     grid = None
@@ -135,9 +139,9 @@ def main(argv=None):
         yd = mask_target(resize_bicubic(jnp.asarray(y), 128))
         pred = predict(state, xd)
         logs = jax.device_get(eval_metrics(pred, normalize_gm(yd)))
-        # weight by real batch size so a short tail batch counts its
-        # samples once, matching the trainer's weighted eval accumulation
-        acc.update(logs, weight=x.shape[0])
+        # per-sample accumulation: every image counts once regardless of
+        # batch size (the reference's batch-1 validation semantics)
+        acc.update_per_sample(logs, x.shape[0])
         if args.grid_out and (i * args.batch_size) % grid_every == 0:
             row = viz.merge_into_row(
                 np.asarray(x[0]),
@@ -153,13 +157,16 @@ def main(argv=None):
         viz.save_image(grid, args.grid_out)
         print(f"wrote {args.grid_out}")
     if args.best_txt:
+        # rank by STANDARD root-mean-square error (the legacy loop tracked
+        # best by true RMSE, main.py:206-230) - the faithful nonstandard
+        # 'rmse' metric stays in the table but never drives selection
         best_path = Path(args.best_txt)
         prev_best = None
         if best_path.exists():
             for tok in best_path.read_text().split():
-                if tok.startswith("rmse="):
+                if tok.startswith("rms="):
                     prev_best = float(tok.split("=")[1])
-        cur = avgs.get("rmse", avgs.get("mse", 0.0))
+        cur = avgs.get("rms", avgs.get("mse", 0.0))
         if prev_best is None or cur < prev_best:
             best_path.write_text(f"step={step} {line}\n")
             print(f"updated {best_path}")

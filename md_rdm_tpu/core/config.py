@@ -78,6 +78,20 @@ class ModelConfig:
     # at the encoder's 57/29/15 spatial sizes.  "auto" = on real TPU;
     # "on"/"off" force; "interpret" runs the kernel interpreted (tests).
     fused_dense: str = "auto"
+    # Fusion-weight initialization (Weights layer, RDM_Net.py:449-456):
+    #   "abs_randn"  - |N(0,1)| per candidate, the faithful reference init.
+    #   "normalized" - |N(0,1)| rescaled so each slot's weights sum to 1:
+    #                  the fused log map starts as a convex combination of
+    #                  the candidates instead of an unnormalized sum whose
+    #                  scale grows with the candidate count (measured: the
+    #                  faithful init opens optimal-set training at
+    #                  val_mse ~350, round-4 run_optset_eps_p8).
+    #   "primary"    - first candidate 1.0, the rest 0.01: the model starts
+    #                  ~equal to its first (DORN) decoder alone and learns
+    #                  to blend the relative candidates in.
+    # Only "abs_randn" is reference behavior; the others are flag-gated
+    # experiments for making the authors' optimal set (1,6,7,8,9) learn.
+    fusion_init: str = "abs_randn"
     # Fusion-tail stabilization floor (0.0 = faithful reference semantics).
     # The reference's fine-detail pipeline logs Hadamard ratios that can go
     # <= 0 (ALS fills have no positivity guarantee; bicubic has negative
@@ -95,6 +109,8 @@ class ModelConfig:
                 raise ValueError(f"unknown decoder id {d}")
         if len(set(self.decoder_ids)) != len(self.decoder_ids):
             raise ValueError("duplicate decoder ids")
+        if self.fusion_init not in ("abs_randn", "normalized", "primary"):
+            raise ValueError(f"unknown fusion_init {self.fusion_init!r}")
 
     @property
     def dorn_ids(self) -> Tuple[int, ...]:
@@ -185,6 +201,14 @@ class TrainConfig:
     min_epochs: int = 1
     max_epochs: int = 1
     seed: Optional[int] = None
+    # Per-param-group learning rates: top-level parameter-tree keys listed
+    # here train at ``fast_lr_multiplier`` x the base LR - the legacy
+    # loop's 1x/10x param-group recipe (main.py:156-162).  The natural
+    # target is ("weight_layer",): the O(1) fusion weights need O(1)
+    # moves that AdamW at lr=1e-4 cannot deliver in a realistic run
+    # (measured round 4: |delta w| <= 0.017 over 400 steps).
+    fast_modules: Tuple[str, ...] = ()
+    fast_lr_multiplier: float = 10.0
     # ReduceLROnPlateau on max val_delta1, patience 2 (module.py:42-46).
     plateau_patience: int = 2
     plateau_factor: float = 0.1
@@ -205,6 +229,10 @@ class TrainConfig:
     log_every: int = 10
     checkpoint_dir: str = "result"
     run_name: str = "rd"
+    # result/<run_name>/run_N per-run directories (utils.py:49-59): a fresh
+    # run_N is allocated per training run so successive runs never clobber
+    # each other's config.json/metrics; resume reuses the resumed run's dir.
+    run_dirs: bool = True
     save_top_k: int = 1           # train.py:43
     resume: Optional[str] = None
     # Mesh: data-parallel size (-1 = all local devices).

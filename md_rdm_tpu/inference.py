@@ -54,7 +54,9 @@ class Predictor:
         x = jnp.zeros((1, cfg.model.image_size, cfg.model.image_size, 3))
         state = module.init(jax.random.PRNGKey(0), tx, x)
         mgr = CheckpointManager(checkpoint_dir)
-        _, state, _ = mgr.restore(jax.device_get(state), step=step)
+        # model sub-trees only: inference must not depend on the training
+        # run's optimizer structure (fast_modules/param-group checkpoints)
+        _, state = mgr.restore_eval(jax.device_get(state), step=step)
         mgr.close()
         return cls({"params": state.params,
                     "batch_stats": state.batch_stats}, config)

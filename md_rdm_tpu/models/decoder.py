@@ -103,13 +103,21 @@ def relative_map_from_features(d: jnp.ndarray, size: int,
         sparse = cross_scale_quantized(d, dn_1, 16, pallas)
         return alternating_least_squares(sparse, n=4,
                                          num_iters=als_iters_rect)
-    # paged path: tiles go into the batch axis -> one batched ALS call
+    # paged path: tiles go into the batch axis -> one batched ALS loop.
+    # RMSE-selection groups are PER PAGE: the reference runs a separate
+    # alternating_least_squares call per page (RDM_Net.py:392), each
+    # pooling its rmse over the batch - pooling across pages would let one
+    # page's record pick another page's iterate (measured 6e-3 fused-map
+    # deviation on converted weights, tests/test_paged_parity.py).
+    from md_rdm_tpu.ops.als import als_factorize_grouped
     dn_pages, dn1_pages = split_matrix(d, dn_1)      # (B,P,1,16,16)/(...,8,8)
     b, p = dn_pages.shape[:2]
     sparse = cross_scale_quantized(
         dn_pages.reshape(b * p, 1, 16, 16), dn1_pages.reshape(b * p, 1, 8, 8),
         size, pallas)
-    filled = alternating_least_squares(sparse, n=4, num_iters=als_iters_rect)
+    page_ids = jnp.arange(b * p, dtype=jnp.int32) % p
+    filled = als_factorize_grouped(sparse, 16, als_iters_rect,
+                                   page_ids, p)
     return merge_pages(filled.reshape(b, p, 1, 16, 16), grid=size // 16)
 
 

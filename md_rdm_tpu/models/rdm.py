@@ -35,11 +35,27 @@ from md_rdm_tpu.ops.paging import merge_pages
 class Weights(nn.Module):
     """Learnable fusion weights, one vector per active fine-detail slot.
 
-    Init is |N(0,1)| per the reference (RDM_Net.py:449-456); zero-size slots
-    simply have no parameter (the reference keeps empty frozen tensors).
+    Default init is |N(0,1)| per the reference (RDM_Net.py:449-456);
+    zero-size slots simply have no parameter (the reference keeps empty
+    frozen tensors).  ``init_mode`` gates the experimental alternatives
+    documented at :class:`~md_rdm_tpu.core.config.ModelConfig.fusion_init`.
     """
 
     vector_sizes: Tuple[int, ...]
+    init_mode: str = "abs_randn"
+
+    def _init_fn(self):
+        mode = self.init_mode
+
+        def init(key, shape):
+            w = jnp.abs(jax.random.normal(key, shape, jnp.float32))
+            if mode == "normalized":
+                return w / jnp.sum(w)
+            if mode == "primary":
+                return jnp.full(shape, 0.01, jnp.float32).at[0, 0].set(1.0)
+            return w
+
+        return init
 
     @nn.compact
     def __call__(self, matrices: List[jnp.ndarray]) -> List[jnp.ndarray]:
@@ -48,11 +64,7 @@ class Weights(nn.Module):
         for name, size in zip(names, self.vector_sizes):
             if size == 0:
                 continue
-            weights.append(self.param(
-                name,
-                lambda key, shape: jnp.abs(
-                    jax.random.normal(key, shape, jnp.float32)),
-                (size, 1)))
+            weights.append(self.param(name, self._init_fn(), (size, 1)))
         return make_pred(weights, matrices)
 
 
@@ -78,6 +90,7 @@ class DepthEstimationNet(nn.Module):
 
         rel_maps = {}
         rect_sparse, rect_groups, rect_meta = [], [], []
+        num_groups = 0
         ord_depth: Optional[jnp.ndarray] = None
         ord_probs: Optional[jnp.ndarray] = None
         for did in cfg.decoder_ids:
@@ -101,15 +114,20 @@ class DepthEstimationNet(nn.Module):
                 sparse, pages = build_cross_scale_sparse(
                     out, size, pallas=cfg.pallas_lloyd)
                 rect_sparse.append(sparse)
+                # RMSE-selection group PER (decoder, page): the reference
+                # runs one ALS call per page, pooling rmse over the batch
+                # only (RDM_Net.py:392) - see relative_map_from_features
                 rect_groups.append(
-                    jnp.full((sparse.shape[0],), len(rect_meta), jnp.int32))
+                    num_groups + jnp.arange(sparse.shape[0],
+                                            dtype=jnp.int32) % pages)
+                num_groups += pages
                 rect_meta.append((did, out.shape[0], pages, size))
 
         if rect_meta:
             filled = als_factorize_grouped(
                 jnp.concatenate(rect_sparse, axis=0), 16,
                 cfg.als_iters_rect, jnp.concatenate(rect_groups),
-                len(rect_meta))
+                num_groups)
             offset = 0
             for did, b, pages, size in rect_meta:
                 cnt = b * pages
@@ -133,5 +151,6 @@ class DepthEstimationNet(nn.Module):
                 m, n, relative_map=did > 5, eps=cfg.fusion_eps))
 
         mats = fine_detail_matrices(rows, eps=cfg.fusion_eps)
-        yhat = Weights(cfg.vector_sizes, name="weight_layer")(mats)
+        yhat = Weights(cfg.vector_sizes, init_mode=cfg.fusion_init,
+                       name="weight_layer")(mats)
         return yhat, ord_depth, ord_probs

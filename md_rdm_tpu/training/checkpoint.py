@@ -54,6 +54,27 @@ class CheckpointManager:
         restored = self._mgr.restore(step, args=ocp.args.Composite(**args))
         return step, restored["state"], dict(restored.get("extra") or {})
 
+    def restore_eval(self, state_template: Any,
+                     step: Optional[int] = None) -> Tuple[int, Any]:
+        """Restore params/batch_stats/step onto ``state_template``, keeping
+        the template's optimizer state untouched.
+
+        Evaluation/inference must not require optimizer-structure equality:
+        a run trained with param groups (fast_modules -> multi_transform
+        opt state) is otherwise unrestorable by an eval-side template built
+        with the plain optimizer.  The checkpoint is read in its own saved
+        structure and only the model sub-trees are grafted.
+        """
+        step = step if step is not None else self._mgr.best_step()
+        if step is None:
+            step = self._mgr.latest_step()
+        restored = self._mgr.restore(
+            step, args=ocp.args.Composite(state=ocp.args.StandardRestore()))
+        raw = restored["state"]
+        return step, state_template.replace(
+            step=raw["step"], params=raw["params"],
+            batch_stats=raw["batch_stats"])
+
     def best_step(self) -> Optional[int]:
         return self._mgr.best_step()
 

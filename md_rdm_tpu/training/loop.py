@@ -38,16 +38,29 @@ from md_rdm_tpu.utils.logging import ScalarLogger
 class Trainer:
     def __init__(self, config: Config, workdir: Optional[str] = None):
         self.config = config
-        self.workdir = Path(workdir or config.train.checkpoint_dir)
+        base = workdir or config.train.checkpoint_dir
+        if config.train.run_dirs:
+            # result/<name>/run_N convention (utils.py:49-59): each run gets
+            # a fresh directory; resuming reuses the resumed run's directory
+            from md_rdm_tpu.utils.rundir import get_output_directory
+            self.workdir = Path(get_output_directory(
+                base, config.train.run_name, config.train.resume))
+        else:
+            self.workdir = Path(base)
         self.workdir.mkdir(parents=True, exist_ok=True)
         self.mesh = create_mesh(config.train.data_parallel)
         self.module = DepthTrainer(config)
-        self.tx = make_optimizer(config.train.learning_rate,
-                                 config.train.weight_decay)
+        self.tx = make_optimizer(
+            config.train.learning_rate, config.train.weight_decay,
+            fast_modules=config.train.fast_modules,
+            fast_multiplier=config.train.fast_lr_multiplier)
         self.scheduler = PlateauScheduler(
             mode="max", patience=config.train.plateau_patience,
             factor=config.train.plateau_factor)
-        self.logger = ScalarLogger(str(self.workdir / config.train.run_name))
+        # run_dirs already nests under <run_name>/run_N; avoid rd/run_0/rd
+        self.logger = ScalarLogger(
+            str(self.workdir / ("logs" if config.train.run_dirs
+                                else config.train.run_name)))
         self.ckpt = CheckpointManager(
             str(self.workdir / "checkpoints"),
             monitor=config.train.monitor, mode="max",
@@ -254,7 +267,9 @@ class Trainer:
             if cfg.dev and i >= 0:
                 break
         for logs, b_real in logs_hist:
-            acc.update(jax.device_get(logs), weight=b_real)
+            # per-sample (B,) vectors; padding rows sliced off so every
+            # real image counts exactly once (reference batch-1 semantics)
+            acc.update_per_sample(jax.device_get(logs), b_real)
         return acc.averages()
 
     def fit(self, state: TrainState, train_loader: Iterable,

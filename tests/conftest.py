@@ -38,6 +38,7 @@ FAST_MODULES = {
     "test_ops_parity", "test_data_and_aux", "test_dataset_fixtures",
     "test_dense_sandwich", "test_nyu_dataset", "test_native",
     "test_grouped_als", "test_inventory_extras", "test_cli",
+    "test_round5_wiring",
 }
 
 

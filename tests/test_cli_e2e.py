@@ -41,10 +41,13 @@ def test_evaluate_cli_end_to_end(tmp_path):
         "--num_images", "2", "--metrics", "delta1", "mse",
         "--linear_metrics", "--grid_out", str(grid),
         "--best_txt", str(best)])
-    assert set(avgs) == {"delta1", "mse"}
+    # --best_txt appends 'rms' (standard RMSE drives best selection,
+    # matching the legacy loop's best-tracking, main.py:206-230)
+    assert set(avgs) == {"delta1", "mse", "rms"}
     assert np.isfinite(avgs["mse"])
     assert grid.exists() and best.exists()
     assert "delta1=" in best.read_text()
+    assert "rms=" in best.read_text()
 
 
 def test_train_cli_resume(tmp_path):

@@ -82,7 +82,9 @@ def test_trainer_fit_dev_mode(tmp_path):
     state = trainer.init_state(x0)
     state = trainer.fit(state, train_loader, val_loader)
     assert int(jax.device_get(state.step)) == 1          # dev: 1 step
-    assert (tmp_path / "config.json").exists()
+    # run_dirs convention: config.json lives in the allocated run_N dir
+    assert trainer.workdir.name == "run_0"
+    assert (trainer.workdir / "config.json").exists()
     assert trainer.ckpt.latest_step() == 0
     # restore round-trips through the Trainer API
     step, restored = trainer.restore(jax.device_get(state))

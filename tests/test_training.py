@@ -79,7 +79,9 @@ def test_eval_step_metrics(trainer_state):
     logs = jax.device_get(
         jax.jit(module.eval_step)(state, jnp.asarray(x), jnp.asarray(y)))
     assert set(logs) == {"delta1", "mse"}
-    assert 0.0 <= logs["delta1"] <= 1.0
+    # per-sample (B,) vectors - the reference's batch-1 pooling semantics
+    assert logs["delta1"].shape == (x.shape[0],)
+    assert np.all(logs["delta1"] >= 0.0) and np.all(logs["delta1"] <= 1.0)
 
 
 def test_lr_injection_no_recompile(trainer_state):
@@ -176,6 +178,31 @@ def test_eval_epoch_padded_equals_unpadded(tmp_path):
         np.testing.assert_allclose(m8[k], m1[k], rtol=1e-4, atol=1e-6)
     tr8.ckpt.close()
     tr1.ckpt.close()
+
+
+def test_eval_epoch_batch_size_invariant(tmp_path):
+    """Epoch metrics are identical at eval batch 1 and batch 3: per-sample
+    accumulation reproduces the reference's batch-1 validation pooling at
+    any batch size (metrics.py:48-71; VERDICT r4 weak #4)."""
+    from md_rdm_tpu.training.loop import Trainer
+
+    x, y = _synthetic_batch(b=3, seed=11)
+    cfg = Config(
+        model=ModelConfig(decoder_ids=(1,)),
+        train=TrainConfig(metrics=("delta1", "mse", "rmse", "mae"), seed=0,
+                          data_parallel=1,
+                          checkpoint_dir=str(tmp_path)))
+    trainer = Trainer(cfg, workdir=str(tmp_path))
+    state = trainer.init_state(x[:1])
+
+    loader_b3 = [(x, y)]
+    loader_b1 = [(x[i:i + 1], y[i:i + 1]) for i in range(3)]
+    m3 = trainer.eval_epoch(state, loader_b3, 0)
+    m1 = trainer.eval_epoch(state, loader_b1, 0)
+    for k in m1:
+        np.testing.assert_allclose(m3[k], m1[k], rtol=1e-5, atol=1e-7,
+                                   err_msg=k)
+    trainer.ckpt.close()
 
 
 def test_max_epochs_bounds_training(tmp_path):

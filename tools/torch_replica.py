@@ -230,21 +230,34 @@ def sparse_comparison_id_oracle(dn, dn_1, cp):
 
 
 class RelDecoder(nn.Module):
-    """Relative decoder d6/d7: dense block (+WSM_1 for d7) + 1-ch conv1
-    head + the Ordinal_Layer relative branch (RDM_Net.py:137-162,359-387)
-    run with computations.py as the oracle.  Only the parameterized modules
-    live here; ``forward_with_tail`` returns every staged intermediate."""
+    """Relative decoder d6/d7/d8: dense block (+ (id-1)%5 cascaded WSM
+    layers) + 1-ch conv1 head + the Ordinal_Layer relative branch
+    (RDM_Net.py:137-162,359-396) run with computations.py as the oracle.
+    Only the parameterized modules live here; ``forward_with_tail``
+    returns every staged intermediate.
+
+    d8 exercises the PAGED path (RDM_Net.py:383-396): the 32x32 map and
+    its bicubic half are split into 16x16/8x8 pages (computations.py
+    split_matrix), each page runs cross-scale comparison + 32-table Lloyd
+    quantization (get_with_id(5)) + rect ALS, and the pages reassemble
+    through the reference's ``reconstruct`` (including its row-duplication
+    bug - computations.py:228-232)."""
+
+    # cascade table (RDM_Net.py:536-553): stage -> (in_channels, kernel)
+    _WSM_STAGES = ((1664, 16), (832, 32), (416, 64), (208, 128))
 
     def __init__(self, did: int, quant: QuantTables):
         super().__init__()
-        assert did in (6, 7)
+        assert did in (6, 7, 8)
         self.did = did
         self.quant = quant
         self.dense_layer = DenseBlock(24, 1056, 8, 48)
         self.wsm_block = nn.Sequential()
-        if did == 7:
-            self.wsm_block.add_module("WSM_1", TorchWSMLayer(1664, 16, 1))
-        planes = {6: 2208, 7: 1664}[did]
+        for stage in range((did - 1) % 5):
+            ch, k = self._WSM_STAGES[stage]
+            self.wsm_block.add_module(
+                f"WSM_{stage + 1}", TorchWSMLayer(ch, k, stage + 1))
+        planes = {6: 2208, 7: 1664, 8: 832}[did]
         self.conv1 = nn.Conv2d(planes, 1, 1)
 
     def forward_with_tail(self, x, cp):
@@ -261,7 +274,7 @@ class RelDecoder(nn.Module):
             sparse = lloyd_quantize_oracle(ratio, *self.quant.tables(8))
             out["quantized"] = sparse.clone()
             out["als"] = cp.quadratic_als(sparse, cuda=False, n=3)
-        else:
+        elif self.did == 7:
             dn_1 = cp.resize(d, 8)              # RDM_Net.py:378
             out["dn_1"] = dn_1.clone()
             ratio = sparse_comparison_id_oracle(d, dn_1, cp)
@@ -270,6 +283,24 @@ class RelDecoder(nn.Module):
             out["quantized"] = sparse.clone()
             out["als"] = cp.alternating_least_squares(
                 sparse_m=sparse, n=4, cuda=False, limit=100)
+        else:
+            # id > 4 paged path (RDM_Net.py:383-396), 32x32 -> 4 pages
+            dn_1 = cp.resize(d, 16)             # get_size_id(id-1)
+            out["dn_1"] = dn_1.clone()
+            dn_pages, dn1_pages = cp.split_matrix(d, dn_1)
+            out["pages"] = [p.clone() for p in dn_pages]
+            out["pages_1"] = [p.clone() for p in dn1_pages]
+            ratios = [sparse_comparison_id_oracle(p, p1, cp)
+                      for p, p1 in zip(dn_pages, dn1_pages)]
+            out["comparison"] = [r.clone() for r in ratios]
+            sparse = [lloyd_quantize_oracle(r, *self.quant.tables(32))
+                      for r in ratios]
+            out["quantized"] = [s.clone() for s in sparse]
+            als = [cp.alternating_least_squares(
+                       sparse_m=s, n=4, cuda=False, limit=100)
+                   for s in sparse]
+            out["als_pages"] = [a.clone() for a in als]
+            out["als"] = cp.reconstruct(list(als))   # faithful (row-dup bug)
         return out
 
 
@@ -344,6 +375,40 @@ class TorchRDMRel(nn.Module):
         f_d7 = cp.decompose_depth_map([], o7["als"], 4,
                                       relative_map=True)[::-1]
         mats = cp.relative_fine_detail_matrix([f_d1, f_d6, f_d7], False)
+        out["matrices"] = [m.clone() for m in mats]
+        yhat = cp.make_pred(self.weight_layer.weight_list, mats, False, False)
+        out["yhat"] = [y.clone() for y in yhat]
+        out["final"] = cp.recombination(list(yhat), 7)
+        return out
+
+
+class TorchRDMPaged(nn.Module):
+    """d1 + paged relative d8 (2-stage WSM cascade) - the reference's
+    id > 4 split/reconstruct branch (RDM_Net.py:383-396) with reference
+    naming, for converted-weights stage parity (VERDICT r4 next #3)."""
+
+    def __init__(self):
+        super().__init__()
+        self.encoder = Encoder()
+        self.d_1 = Decoder1()
+        self.d_8 = RelDecoder(8, QuantTables())
+        # vector sizes for (1,8): d1 slots 0..3, d8 (depth 5, relative)
+        # slots 1..5 (RDM_Net.py:63 scheme)
+        self.weight_layer = WeightLayer((1, 2, 2, 2, 1, 1, 0, 0))
+
+    def forward(self, x, cp):
+        feats = self.encoder(x)
+        decode, probs = self.d_1(feats)
+        o8 = self.d_8.forward_with_tail(feats, cp)
+        out = {"encoder": feats, "decode": decode, "probs": probs,
+               "d8": o8}
+        b, _, h, w = decode.shape
+        gm = cp.quick_gm(decode.view(b, h * w, 1), h)
+        normed = decode / gm.expand(b, h * w).view(b, 1, h, w)
+        f_d1 = cp.decompose_depth_map([], normed, 3)[::-1]
+        f_d8 = cp.decompose_depth_map([], o8["als"], 5,
+                                      relative_map=True)[::-1]
+        mats = cp.relative_fine_detail_matrix([f_d1, f_d8], False)
         out["matrices"] = [m.clone() for m in mats]
         yhat = cp.make_pred(self.weight_layer.weight_list, mats, False, False)
         out["yhat"] = [y.clone() for y in yhat]
