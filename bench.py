@@ -51,14 +51,14 @@ def _remaining():
     return BUDGET_S - (time.time() - _T0)
 
 
-def _run_stage(dtype, fused, k, timeout_s):
+def _run_stage(dtype, fused, k, timeout_s, growth="auto"):
     """Run one forward measurement in a subprocess; return the LAST
     parseable JSON line from its stdout (progressive lines: timing first,
     flops-enriched second), or None on failure/timeout with no output."""
     cmd = [sys.executable, os.path.join(_HERE, "tools", "true_bench.py"),
-           "--forward_json", dtype, "--fused", fused,
+           "--forward_json", dtype, "--fused", fused, "--growth", growth,
            "--batch", str(BATCH), "--k", str(k)]
-    _log(f"stage: dtype={dtype} fused={fused} k={k} "
+    _log(f"stage: dtype={dtype} fused={fused} growth={growth} k={k} "
          f"timeout={timeout_s:.0f}s")
     try:
         proc = subprocess.run(cmd, stdout=subprocess.PIPE, cwd=_HERE,
@@ -88,11 +88,11 @@ def main():
     # is the round-2 configuration whose bench was driver-green at 642
     # img/s; the k=4 rung shrinks the executed-iteration count (compile
     # surface is already 1 program/stage via the dynamic trip count).
-    ladder = [("bfloat16", "auto", 16),
-              ("bfloat16", "off", 16),
-              ("bfloat16", "off", 4)]
+    ladder = [("bfloat16", "auto", 16, "auto"),
+              ("bfloat16", "off", 16, "off"),
+              ("bfloat16", "off", 4, "off")]
     primary = None
-    for i, (dtype, fused, k) in enumerate(ladder):
+    for i, (dtype, fused, k, growth) in enumerate(ladder):
         if _remaining() < 45:
             _log("budget exhausted; skipping remaining rungs")
             break
@@ -108,7 +108,7 @@ def main():
             # hard-respect the budget: never let a rung run past it
             timeout_s = max(_remaining() - 15, 30)
             timeout_s = min(timeout_s, max(_remaining() - 15, 1))
-        r = _run_stage(dtype, fused, k, timeout_s)
+        r = _run_stage(dtype, fused, k, timeout_s, growth=growth)
         if r and r.get("dt_s"):
             primary = r
             break
@@ -129,7 +129,8 @@ def main():
     bf16_wall = time.time() - _T0
     if _remaining() > bf16_wall + 90:
         f32 = _run_stage("float32", primary["fused"], 16,
-                         _remaining() - 30)
+                         _remaining() - 30,
+                         growth=primary.get("growth", "auto"))
 
     ips = primary["img_per_s"]
     out = {

@@ -78,6 +78,11 @@ class ModelConfig:
     # at the encoder's 57/29/15 spatial sizes.  "auto" = on real TPU;
     # "on"/"off" force; "interpret" runs the kernel interpreted (tests).
     fused_dense: str = "auto"
+    # Full-lane matmul formulation of the XLA-routed 3x3 growth convs
+    # (kernels/growth_conv.py) at the spatial sizes where it measures
+    # faster than lax conv's 48/128-lane lowering.  "auto" = on real TPU;
+    # "on"/"off" force; "on_all" forces every size (bench/tests).
+    growth_matmul: str = "auto"
     # Fusion-weight initialization (Weights layer, RDM_Net.py:449-456):
     #   "abs_randn"  - |N(0,1)| per candidate, the faithful reference init.
     #   "normalized" - |N(0,1)| rescaled so each slot's weights sum to 1:

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from md_rdm_tpu.kernels.dense_sandwich import (bwd_routes, conv_bn_stats,
                                                dense_sandwich, routes)
+from md_rdm_tpu.kernels.growth_conv import growth_conv_matmul, growth_routes
 
 Dtype = Any
 
@@ -98,6 +99,7 @@ class DenseLayer(nn.Module):
     growth_rate: int
     dtype: Dtype = jnp.float32
     fused: str = "off"
+    growth: str = "off"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -128,6 +130,12 @@ class DenseLayer(nn.Module):
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32, name="norm2")(h)
         h = nn.relu(h.astype(self.dtype))
+        # the 48-lane growth conv optionally runs as the full-lane matmul
+        # formulation (kernels/growth_conv.py) - same param tree (conv2
+        # kernel registered with nn.Conv's shape/init via _Kernel).
+        if growth_routes(h.shape[1], train, self.growth):
+            w2 = _Kernel((3, 3, c_mid, self.growth_rate), name="conv2")()
+            return growth_conv_matmul(h, w2.astype(self.dtype))
         h = nn.Conv(self.growth_rate, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv2")(h)
         return h
@@ -147,6 +155,7 @@ class DenseBlock(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     fused: str = "off"
+    growth: str = "off"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -155,6 +164,7 @@ class DenseBlock(nn.Module):
         for i in range(self.num_layers):
             new = layer_cls(self.bn_size, self.growth_rate,
                             dtype=self.dtype, fused=self.fused,
+                            growth=self.growth,
                             name=f"denselayer{i + 1}")(
                                 x, train)
             x = jnp.concatenate([x, new.astype(x.dtype)], axis=-1)
@@ -196,6 +206,7 @@ class Encoder(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     fused: str = "off"
+    growth: str = "off"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -204,16 +215,17 @@ class Encoder(nn.Module):
                     dtype=self.dtype, name="conv_e1")(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         x = DenseBlock(6, 57, 48, dtype=self.dtype, remat=self.remat,
-                       fused=self.fused, name="dense_e2")(x, train)
+                       fused=self.fused, growth=self.growth,
+                       name="dense_e2")(x, train)
         x = pad_br(x)
         x = Transition(192, dtype=self.dtype, name="trans_e2")(x, train)
         x = DenseBlock(12, 29, 48, dtype=self.dtype, remat=self.remat,
-                       fused=self.fused,
+                       fused=self.fused, growth=self.growth,
                        name="dense_e3")(x, train)
         x = pad_br(x)
         x = Transition(384, dtype=self.dtype, name="trans_e3")(x, train)
         x = DenseBlock(36, 15, 48, dtype=self.dtype, remat=self.remat,
-                       fused=self.fused,
+                       fused=self.fused, growth=self.growth,
                        name="dense_e4")(x, train)
         x = pad_br(x)
         x = Transition(1056, dtype=self.dtype, name="trans_e4")(x, train)

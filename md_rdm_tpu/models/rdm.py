@@ -79,6 +79,7 @@ class DepthEstimationNet(nn.Module):
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         feats = Encoder(dtype=dtype, remat=cfg.remat,
                         fused=resolve_fused(cfg.fused_dense),
+                        growth=resolve_fused(cfg.growth_matmul),
                         name="encoder")(x, train=train)
         if cfg.freeze_encoder:
             feats = jax.lax.stop_gradient(feats)

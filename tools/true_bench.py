@@ -123,7 +123,8 @@ def flops_of(jitted, *a):
 
 def measure_forward(batch: int = 16, k_lo: int = 4, k_hi: int = 16,
                     dtype: str = "float32", decoder_ids=(1,),
-                    fused: str = "auto", flops: bool = True, on_dt=None):
+                    fused: str = "auto", growth: str = "auto",
+                    flops: bool = True, on_dt=None):
     """(seconds per forward, flops per forward) for the given decoder set.
 
     K forwards run inside ONE jit via ``lax.fori_loop`` with a *dynamic*
@@ -143,7 +144,7 @@ def measure_forward(batch: int = 16, k_lo: int = 4, k_hi: int = 16,
     x = jnp.asarray(rng.random((batch, 226, 226, 3)), jnp.float32)
     model = DepthEstimationNet(
         ModelConfig(decoder_ids=tuple(decoder_ids), compute_dtype=dtype,
-                    fused_dense=fused))
+                    fused_dense=fused, growth_matmul=growth))
     print(f"  [true_bench] init model (dtype={dtype} fused={fused})",
           file=sys.stderr, flush=True)
     # Init on the host CPU: the fused and unfused graphs register
@@ -184,6 +185,7 @@ def measure_forward(batch: int = 16, k_lo: int = 4, k_hi: int = 16,
         fl = flops_of(fwd1, variables, x)
         if fl:
             fl += _hidden_flops(fused, batch)
+            fl -= _growth_inflation(growth, fused, batch)
     return dt, fl
 
 
@@ -198,22 +200,37 @@ def _hidden_flops(fused: str, batch: int, train: bool = False,
     return 0
 
 
+def _growth_inflation(growth: str, fused: str, batch: int,
+                      train: bool = False) -> int:
+    """Lane-pad flop inflation of the matmul growth conv, subtracted so
+    MFU reports algorithmic conv flops (kernels/growth_conv.py)."""
+    from md_rdm_tpu.kernels.growth_conv import growth_flop_inflation
+    from md_rdm_tpu.models.densenet import resolve_fused
+    gm = resolve_fused(growth)
+    if gm in ("on", "on_all"):
+        return growth_flop_inflation(batch, mode=gm,
+                                     fused=resolve_fused(fused),
+                                     train=train)
+    return 0
+
+
 def forward_json(batch: int, k_lo: int, k_hi: int, dtype: str,
-                 fused: str) -> None:
+                 fused: str, growth: str = "auto") -> None:
     """Single-dtype forward measurement for the bench.py orchestrator.
 
     Prints PROGRESSIVE JSON lines to stdout (each a superset of the last):
     first the timing-only result as soon as dt exists, then the
     flops-enriched one.  If the parent kills this process mid-flops (budget
     exceeded), the timing line already printed is still parseable."""
-    out = {"dtype": dtype, "fused": fused, "batch": batch}
+    out = {"dtype": dtype, "fused": fused, "growth": growth,
+           "batch": batch}
 
     def on_dt(dt):
         out.update(dt_s=dt, img_per_s=batch / dt)
         print(json.dumps(out), flush=True)
 
     dt, fl = measure_forward(batch, k_lo, k_hi, dtype, fused=fused,
-                             flops=True, on_dt=on_dt)
+                             growth=growth, flops=True, on_dt=on_dt)
     if fl:
         out["flops"] = fl
         out["mfu_pct"] = round(100 * fl / dt / V5E_PEAK_FLOPS, 2)
@@ -237,11 +254,14 @@ def main():
                     choices=("auto", "on", "on_all", "on_all_bwd", "off",
                              "interpret"),
                     help="ModelConfig.fused_dense for every section")
+    ap.add_argument("--growth", default="auto",
+                    choices=("auto", "on", "on_all", "off"),
+                    help="ModelConfig.growth_matmul for every section")
     args = ap.parse_args()
 
     if args.forward_json:
         forward_json(args.batch, max(args.k // 4, 1), args.k,
-                     args.forward_json, args.fused)
+                     args.forward_json, args.fused, args.growth)
         return
 
     _setup()
@@ -312,7 +332,8 @@ def main():
             rng.random((bb, 1, 226, 226)) * 9 + 0.5, jnp.float32)
         cfg = Config(model=ModelConfig(decoder_ids=decoder_ids,
                                        compute_dtype=dtype, remat=remat,
-                                       fused_dense=args.fused),
+                                       fused_dense=args.fused,
+                                       growth_matmul=args.growth),
                      train=TrainConfig(metrics=("delta1", "mse")))
         module = DepthTrainer(cfg)
         tx = make_optimizer(1e-4)
@@ -351,6 +372,7 @@ def main():
             # plus one bwd program per bwd-routed layer.
             fl += _hidden_flops(args.fused, bb, train=True)
             fl += _hidden_flops(args.fused, bb, train=True, bwd=True)
+            fl -= _growth_inflation(args.growth, args.fused, bb, train=True)
         if fl:
             record(f"{tag}_gflops", round(fl / 1e9, 1))
             record(f"{tag}_mfu_pct", round(100 * fl / dt / V5E_PEAK_FLOPS, 1))
