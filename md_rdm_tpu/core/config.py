@@ -78,6 +78,13 @@ class ModelConfig:
     # at the encoder's 57/29/15 spatial sizes.  "auto" = on real TPU;
     # "on"/"off" force; "interpret" runs the kernel interpreted (tests).
     fused_dense: str = "auto"
+    # Flat-layout S=57 dense block (models/densenet.py DenseBlockFlat):
+    # the whole block runs in the Pallas kernel's lead-frame layout, one
+    # entry/exit transpose instead of per-layer prep/reshape glue
+    # (PERF.md round-4 gap analysis: 6.3 ms/step of glue).  "off" until
+    # the TPU measurement lands; "on"/"interpret" force; "auto" = on
+    # when the fused kernel is on (real TPU).
+    flat_block: str = "off"
     # Full-lane matmul formulation of the XLA-routed 3x3 growth convs
     # (kernels/growth_conv.py) at the spatial sizes where it measures
     # faster than lax conv's 48/128-lane lowering.  "auto" = on real TPU;

@@ -410,6 +410,333 @@ def _pallas_sandwich_bwd(xr, w1, scale, shift, w2, g, *, interpret=False):
     return (dxr, dw1, dscale[:c_mid, 0], dshift[:c_mid, 0], dw2)
 
 
+# ---------------------------------------------------------------------------
+# Flat-frame variants: kernel I/O in the block's own layout.
+#
+# The round-4 trace analysis (PERF.md) showed 6.3 ms/step of the fused
+# path's win paid back in GLUE: per layer, a layout copy + lane-pad of
+# the NHWC input into the kernel's [C, pixels] shape, and a reshape+copy
+# of the flat output back to NHWC for the block concat.  The flat
+# variants remove both: the WHOLE dense block keeps its concat stack in
+# "lead-frame flat" layout [B, C, ZT] - padded-frame positions (r, c)
+# at lane LEAD + r*F + c, LEAD = 128 zeros so every tap slice offset is
+# nonnegative and the output write is lane-aligned - and the kernel
+# reads/writes that layout directly (models/densenet.py DenseBlockFlat).
+# ---------------------------------------------------------------------------
+
+LEAD = 128
+
+
+def _geometry_flat(s: int) -> Tuple[int, int, int]:
+    """(F, W, ZT) for spatial size S in lead-frame layout: padded-frame
+    width, accumulation-window width (covers all F*F frame positions),
+    and total lane width (large enough that the last tap's read window
+    ``[LEAD+F+1, LEAD+F+1+W)`` stays in bounds)."""
+    f = s + 2
+    w = _pad128(f * f)
+    zt = _pad128(LEAD + f + 1 + w)
+    return f, w, zt
+
+
+def _interior_mask(s: int, width: int, offset: int = LEAD):
+    """[1, width] bool: lanes holding interior frame positions (row/col
+    in [1, S+1)) of a frame whose position 0 sits at lane ``offset``."""
+    f = s + 2
+    l = lax.broadcasted_iota(jnp.int32, (1, width), 1) - offset
+    col = l % f
+    row = l // f
+    return ((l >= 0) & (l < f * f) & (col >= 1) & (col <= s)
+            & (row >= 1) & (row <= s))
+
+
+def _kernel_flat(xs_ref, w1t_ref, w2s_ref, scale_ref, shift_ref, out_ref,
+                 *, s, c_mid_p, growth, kc):
+    """Per-batch-element forward, lead-frame flat I/O (see block comment).
+
+    Identical math to :func:`_kernel`; differences are pure layout:
+    * input lanes already carry the padded frame at offset LEAD (no
+      prep transposes in the caller);
+    * tap j reads ``t_all[LEAD - F - 1 + dy*F + dx + k]`` for window
+      position k (all offsets >= LEAD - F - 1 > 0);
+    * the output is the full [G, ZT] lane row with the interior mask
+      applied - the next layer consumes it directly, no reshape back.
+    """
+    f, w, zt = _geometry_flat(s)
+    valid_z = _interior_mask(s, zt)
+
+    def chunk(i, acc):
+        k0 = i * kc
+        z = lax.dot_general(
+            w1t_ref[pl.ds(k0, kc), :], xs_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        z = (z * scale_ref[pl.ds(k0, kc), :]
+             + shift_ref[pl.ds(k0, kc), :])
+        z = jnp.where(valid_z, jnp.maximum(z, 0.0), 0.0).astype(xs_ref.dtype)
+        t_all = lax.dot_general(
+            w2s_ref[:, pl.ds(k0, kc)], z,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                j = 3 * dy + dx
+                t = LEAD - f - 1 + dy * f + dx
+                acc = acc + t_all[j * growth:(j + 1) * growth, t:t + w]
+        return acc
+
+    acc = lax.fori_loop(0, c_mid_p // kc, chunk,
+                        jnp.zeros((growth, w), jnp.float32))
+    out = jnp.pad(
+        jnp.where(_interior_mask(s, w, offset=0), acc, 0.0),
+        ((0, 0), (LEAD, zt - LEAD - w)))
+    out_ref[0, :, :] = out.astype(out_ref.dtype)
+
+
+def _pallas_sandwich_flat(xs, w1, scale, shift, w2, *, s, interpret=False):
+    """Fused forward, flat I/O.  xs: [B, C_in, ZT] lead-frame stack
+    (already norm1+relu'd+masked, compute dtype, zero borders); returns
+    [B, G, ZT] in the same layout with zero borders."""
+    b, c_in, zt_in = xs.shape
+    c_mid = w1.shape[-1]
+    growth = w2.shape[-1]
+    dt = xs.dtype
+    f, w, zt = _geometry_flat(s)
+    assert zt_in == zt, (zt_in, zt)
+
+    kc = _pick_kc(c_mid, zt, jnp.dtype(dt).itemsize)
+    cmp_ = -(-c_mid // kc) * kc
+    w1t = jnp.pad(w1.reshape(c_in, c_mid).T.astype(dt),
+                  ((0, cmp_ - c_mid), (0, 0)))
+    w2s = jnp.pad(w2.transpose(0, 1, 3, 2).reshape(9 * growth,
+                                                  c_mid).astype(dt),
+                  ((0, 0), (0, cmp_ - c_mid)))
+    scale2 = jnp.pad(scale.astype(jnp.float32),
+                     (0, cmp_ - c_mid)).reshape(cmp_, 1)
+    shift2 = jnp.pad(shift.astype(jnp.float32),
+                     (0, cmp_ - c_mid)).reshape(cmp_, 1)
+
+    return pl.pallas_call(
+        functools.partial(_kernel_flat, s=s, c_mid_p=cmp_, growth=growth,
+                          kc=kc),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, c_in, zt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cmp_, c_in), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * growth, cmp_), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cmp_, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cmp_, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, growth, zt), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, growth, zt), dt),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        interpret=interpret,
+    )(xs, w1t, w2s, scale2, shift2)
+
+
+def _bwd_kernel_flat(xs_ref, ge_ref, w1t_ref, w2s_ref, scale_ref,
+                     shift_ref, dx_ref, dw1_ref, dw2s_ref, dscale_ref,
+                     dshift_ref, *, s, c_mid_p, growth, kc):
+    """Per-batch-element backward, flat I/O.
+
+    Mirrors :func:`_bwd_kernel` with lead-frame coordinates.  The
+    incoming cotangent is interior-masked FIRST: the forward's output
+    mask makes border positions constants, so border cotangents (which
+    upstream flat-BN sums legitimately produce) must not contaminate
+    the weight gradients.  dx comes out interior-only (dz is masked and
+    the 1x1 conv is positionwise), which is exactly the stack cotangent
+    the flat block needs.
+    """
+    f, w, zt = _geometry_flat(s)
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _init():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        dw2s_ref[...] = jnp.zeros_like(dw2s_ref)
+        dscale_ref[...] = jnp.zeros_like(dscale_ref)
+        dshift_ref[...] = jnp.zeros_like(dshift_ref)
+
+    valid_z = _interior_mask(s, zt)
+    ge = jnp.where(valid_z, ge_ref[0], 0).astype(ge_ref.dtype)
+
+    # Forward: out[p] reads t_all[p - sh_j], sh_j = (f+1) - (dy*f+dx).
+    # Transpose: g_taps[j][l] = ge[l + sh_j].  Shifts span both signs;
+    # LEAD >= f+1 zeros on the left and >= f+1 on the right keep every
+    # shift in-bounds (the shifted-in values are those zeros).
+    zero = jnp.zeros_like(ge)
+    taps = []
+    for dy in range(3):
+        for dx_ in range(3):
+            sh = (f + 1) - (dy * f + dx_)
+            if sh == 0:
+                taps.append(ge)
+            elif sh > 0:                     # content moves left by sh
+                taps.append(jnp.concatenate(
+                    [ge[:, sh:], zero[:, :sh]], axis=1))
+            else:                            # content moves right by -sh
+                taps.append(jnp.concatenate(
+                    [zero[:, :(-sh)], ge[:, :zt + sh]], axis=1))
+    g_taps = jnp.concatenate(taps, axis=0)          # [9G, ZT]
+
+    def chunk(i, dx_acc):
+        k0 = i * kc
+        z = lax.dot_general(
+            w1t_ref[pl.ds(k0, kc), :], xs_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        sc = scale_ref[pl.ds(k0, kc), :]
+        a = z * sc + shift_ref[pl.ds(k0, kc), :]
+        mask = (a > 0.0) & valid_z
+        r = jnp.where(mask, a, 0.0).astype(ge.dtype)
+        dr = lax.dot_general(
+            w2s_ref[:, pl.ds(k0, kc)], g_taps,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        da = jnp.where(mask, dr, 0.0)
+        dscale_ref[pl.ds(k0, kc), :] += jnp.sum(da * z, axis=1,
+                                                keepdims=True)
+        dshift_ref[pl.ds(k0, kc), :] += jnp.sum(da, axis=1, keepdims=True)
+        dz = (da * sc).astype(ge.dtype)
+        dx_acc = dx_acc + lax.dot_general(
+            w1t_ref[pl.ds(k0, kc), :], dz,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dw1_ref[pl.ds(k0, kc), :] += lax.dot_general(
+            dz, xs_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dw2s_ref[:, pl.ds(k0, kc)] += lax.dot_general(
+            g_taps, r,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dx_acc
+
+    c_in = xs_ref.shape[1]
+    dx = lax.fori_loop(0, c_mid_p // kc, chunk,
+                       jnp.zeros((c_in, zt), jnp.float32))
+    dx_ref[0, :, :] = dx.astype(dx_ref.dtype)
+
+
+def _pallas_sandwich_flat_bwd(xs, w1, scale, shift, w2, g, *, s,
+                              interpret=False):
+    """Fused backward, flat I/O.  Returns (dxs, dw1, dscale, dshift, dw2)
+    with dxs in the lead-frame stack layout."""
+    b, c_in, zt_in = xs.shape
+    c_mid = w1.shape[-1]
+    growth = w2.shape[-1]
+    dt = xs.dtype
+    f, w, zt = _geometry_flat(s)
+    assert zt_in == zt
+
+    kc = _pick_kc(c_mid, zt, jnp.dtype(dt).itemsize)
+    cmp_ = -(-c_mid // kc) * kc
+    w1t = jnp.pad(w1.reshape(c_in, c_mid).T.astype(dt),
+                  ((0, cmp_ - c_mid), (0, 0)))
+    w2s = jnp.pad(w2.transpose(0, 1, 3, 2).reshape(9 * growth,
+                                                  c_mid).astype(dt),
+                  ((0, 0), (0, cmp_ - c_mid)))
+    scale2 = jnp.pad(scale.astype(jnp.float32),
+                     (0, cmp_ - c_mid)).reshape(cmp_, 1)
+    shift2 = jnp.pad(shift.astype(jnp.float32),
+                     (0, cmp_ - c_mid)).reshape(cmp_, 1)
+
+    dx, dw1, dw2s, dscale, dshift = pl.pallas_call(
+        functools.partial(_bwd_kernel_flat, s=s, c_mid_p=cmp_,
+                          growth=growth, kc=kc),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, c_in, zt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, growth, zt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cmp_, c_in), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * growth, cmp_), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cmp_, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cmp_, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c_in, zt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cmp_, c_in), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * growth, cmp_), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cmp_, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cmp_, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, c_in, zt), dt),
+            jax.ShapeDtypeStruct((cmp_, c_in), jnp.float32),
+            jax.ShapeDtypeStruct((9 * growth, cmp_), jnp.float32),
+            jax.ShapeDtypeStruct((cmp_, 1), jnp.float32),
+            jax.ShapeDtypeStruct((cmp_, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+        interpret=interpret,
+    )(xs, g, w1t, w2s, scale2, shift2)
+
+    dw1 = dw1[:c_mid].T.reshape(1, 1, c_in, c_mid).astype(jnp.float32)
+    dw2 = (dw2s[:, :c_mid].reshape(3, 3, growth, c_mid)
+           .transpose(0, 1, 3, 2).astype(jnp.float32))
+    return (dx, dw1, dscale[:c_mid, 0], dshift[:c_mid, 0], dw2)
+
+
+def flat_reference_sandwich(xs, w1, scale, shift, w2, *, s):
+    """XLA reference for the flat layout: convert to NHWC, run
+    :func:`reference_sandwich`, convert back (used as the non-Pallas
+    custom_vjp backward and in tests)."""
+    f, w, zt = _geometry_flat(s)
+    b, c_in, _ = xs.shape
+    xr = (xs[:, :, LEAD:LEAD + f * f].reshape(b, c_in, f, f)
+          [:, :, 1:s + 1, 1:s + 1].transpose(0, 2, 3, 1))
+    y = reference_sandwich(xr, w1, scale, shift, w2)
+    g = w2.shape[-1]
+    yp = jnp.pad(y.transpose(0, 3, 1, 2), ((0, 0), (0, 0), (1, 1), (1, 1)))
+    return jnp.pad(yp.reshape(b, g, f * f),
+                   ((0, 0), (0, 0), (LEAD, zt - LEAD - f * f)))
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_flat(s: int, interpret: bool, pallas_bwd: bool = True):
+    @jax.custom_vjp
+    def fused(xs, w1, scale, shift, w2):
+        return _pallas_sandwich_flat(xs, w1, scale, shift, w2, s=s,
+                                     interpret=interpret)
+
+    def fwd(xs, w1, scale, shift, w2):
+        return fused(xs, w1, scale, shift, w2), (xs, w1, scale, shift, w2)
+
+    def bwd(res, g):
+        if pallas_bwd:
+            return _pallas_sandwich_flat_bwd(*res, g, s=s,
+                                             interpret=interpret)
+        _, vjp = jax.vjp(
+            lambda *a: flat_reference_sandwich(*a, s=s), *res)
+        return vjp(g)
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def dense_sandwich_flat(xs, w1, scale, shift, w2, *, s, interpret=False,
+                        pallas_bwd=True):
+    """Public flat-layout entry (grad-safe custom_vjp)."""
+    return _make_fused_flat(s, interpret, pallas_bwd)(
+        xs, w1, scale, shift, w2)
+
+
 def reference_sandwich(xr, w1, scale, shift, w2):
     """Plain XLA formulation with the DenseLayer's dtype semantics:
     conv1 in compute dtype, affine+relu in f32, conv2 in compute dtype.
@@ -518,6 +845,26 @@ def fused_hidden_flops(batch: int, growth: int = 48, mode: str = "on",
             fn = sandwich_bwd_flops if bwd else sandwich_flops
             total += mult * fn(batch, s, c0 + i * growth, c_mid, growth)
     return total
+
+
+def conv_bn_stats_flat(xs, w1, n_valid: int):
+    """:func:`conv_bn_stats` for a lead-frame flat stack [B, C, ZT].
+
+    Border and pad lanes are exactly zero, so plain sums over (B, lanes)
+    equal the sums over the N = n_valid real pixels; only the divisor
+    needs the true count.  Uses the uncentered co-moment E[xx^T] - mm^T
+    (flax BatchNorm's own E[x^2] - E[x]^2 form) because centering would
+    destroy the zero borders; float32 accumulation keeps it stable at
+    these magnitudes (relu'd BN outputs, O(1))."""
+    xf = xs.astype(jnp.float32)
+    wf = w1.reshape(xs.shape[1], -1).astype(jnp.float32)
+    m = jnp.sum(xf, axis=(0, 2)) / n_valid                 # [C]
+    xx = lax.dot_general(xf, xf, (((0, 2), (0, 2)), ((), ())),
+                         preferred_element_type=jnp.float32) / n_valid
+    mean = m @ wf                                          # [C_mid]
+    ex2 = jnp.sum(wf * (xx @ wf), axis=0)
+    var = jnp.maximum(ex2 - mean * mean, 0.0)
+    return mean, var
 
 
 def conv_bn_stats(xr, w1):

@@ -24,8 +24,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from md_rdm_tpu.kernels.dense_sandwich import (bwd_routes, conv_bn_stats,
-                                               dense_sandwich, routes)
+from md_rdm_tpu.kernels.dense_sandwich import (LEAD, _geometry_flat,
+                                               _interior_mask, bwd_routes,
+                                               conv_bn_stats,
+                                               conv_bn_stats_flat,
+                                               dense_sandwich,
+                                               dense_sandwich_flat, routes)
 from md_rdm_tpu.kernels.growth_conv import growth_conv_matmul, growth_routes
 
 Dtype = Any
@@ -35,6 +39,18 @@ def resolve_fused(mode: str) -> str:
     """Resolve ModelConfig.fused_dense ("auto" -> on for real TPU)."""
     if mode == "auto":
         return "on" if jax.default_backend() == "tpu" else "off"
+    return mode
+
+
+def resolve_flat(mode: str, fused_resolved: str) -> str:
+    """Resolve ModelConfig.flat_block.  The flat S=57 block needs the
+    Pallas kernel (every layer routes), so "auto" can only be on when
+    the resolved fused mode is too; measurement gates the default
+    (tools/true_bench.py --flat, PERF.md round 5)."""
+    if mode == "auto":
+        ok = (jax.default_backend() == "tpu"
+              and fused_resolved in ("on", "on_all", "on_all_bwd"))
+        return "on" if ok else "off"
     return mode
 
 
@@ -141,6 +157,147 @@ class DenseLayer(nn.Module):
         return h
 
 
+class _FlatNorm(nn.Module):
+    """``nn.BatchNorm`` semantics over a lead-frame flat stack
+    [B, C, ZT] (kernels/dense_sandwich.py flat layout).
+
+    Border/pad lanes are exactly zero, so plain sums over (batch, lanes)
+    equal the sums over the ``n_valid`` = B*S*S real pixels; only the
+    divisor changes.  Variance is E[x^2] - E[x]^2, flax's own form, so
+    batch statistics match ``nn.BatchNorm`` bit-for-bit up to summation
+    order.  Registers the same params/variables (``scale``/``bias``,
+    ``mean``/``var``) for checkpoint interop.  Returns the folded
+    per-channel (scale, shift) affine instead of applying it."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, n_valid: int, train: bool):
+        c = x.shape[1]
+        gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if train:
+            xf = x.astype(jnp.float32)
+            mean = jnp.sum(xf, axis=(0, 2)) / n_valid
+            ex2 = jnp.sum(xf * xf, axis=(0, 2)) / n_valid
+            var = jnp.maximum(ex2 - mean * mean, 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        s = gamma * jax.lax.rsqrt(var + self.epsilon)
+        return s, beta - mean * s
+
+
+class _FlatFoldedNorm(nn.Module):
+    """:class:`_FoldedNorm` over a lead-frame flat stack: folded-BN
+    affine for the output of a bias-free 1x1 conv, batch statistics via
+    :func:`conv_bn_stats_flat` (same linearity argument; zero borders
+    keep the sums exact)."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, xs, w1, n_valid: int, train: bool):
+        c = w1.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if train:
+            mean, var = conv_bn_stats_flat(xs, w1, n_valid)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        s = gamma * jax.lax.rsqrt(var + self.epsilon)
+        return s, beta - mean * s
+
+
+class FlatDenseLayer(nn.Module):
+    """One _DenseLayer over the lead-frame flat stack: norm1 affine +
+    relu + interior mask, then the flat-I/O Pallas sandwich.  Parameter
+    tree identical to :class:`DenseLayer` (norm1, conv1, norm2, conv2).
+
+    The interior mask after relu restores the stack's structural zero
+    borders (the BN shift makes them nonzero otherwise) - required both
+    by the kernel's tap trick and so border cotangents never reach the
+    BN parameter gradients (the mask zeroes them on the way back)."""
+
+    bn_size: int
+    growth_rate: int
+    spatial: int
+    dtype: Dtype = jnp.float32
+    interpret: bool = False
+    pallas_bwd: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        s = self.spatial
+        _f, _w, zt = _geometry_flat(s)
+        n_valid = x.shape[0] * s * s
+        sc1, sh1 = _FlatNorm(name="norm1")(x, n_valid, train)
+        h = (x.astype(jnp.float32) * sc1[None, :, None]
+             + sh1[None, :, None])
+        h = jnp.where(_interior_mask(s, zt)[None],
+                      nn.relu(h.astype(self.dtype)),
+                      jnp.zeros((), self.dtype))
+        c_mid = self.bn_size * self.growth_rate
+        w1 = _Kernel((1, 1, h.shape[1], c_mid), name="conv1")()
+        w2 = _Kernel((3, 3, c_mid, self.growth_rate), name="conv2")()
+        sc2, sh2 = _FlatFoldedNorm(name="norm2")(h, w1, n_valid, train)
+        return dense_sandwich_flat(h, w1, sc2, sh2, w2, s=s,
+                                   interpret=self.interpret,
+                                   pallas_bwd=self.pallas_bwd)
+
+
+class DenseBlockFlat(nn.Module):
+    """_DenseBlock in lead-frame flat layout: ONE entry transpose, the
+    concat-growth runs on [B, C, ZT] stacks (kernel-native I/O - no
+    per-layer prep/reshape glue), ONE exit transpose back to NHWC.
+    Parameter tree identical to :class:`DenseBlock`."""
+
+    num_layers: int
+    bn_size: int
+    growth_rate: int
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+    interpret: bool = False
+    pallas_bwd: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, s, _, c0 = x.shape
+        f, _w, zt = _geometry_flat(s)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        stack = jnp.pad(xp.transpose(0, 3, 1, 2).reshape(b, c0, f * f),
+                        ((0, 0), (0, 0), (LEAD, zt - LEAD - f * f)))
+        layer_cls = (nn.remat(FlatDenseLayer, static_argnums=(2,))
+                     if self.remat else FlatDenseLayer)
+        for i in range(self.num_layers):
+            new = layer_cls(self.bn_size, self.growth_rate, spatial=s,
+                            dtype=self.dtype, interpret=self.interpret,
+                            pallas_bwd=self.pallas_bwd,
+                            name=f"denselayer{i + 1}")(stack, train)
+            stack = jnp.concatenate([stack, new.astype(stack.dtype)],
+                                    axis=1)
+        out = (stack[:, :, LEAD:LEAD + f * f]
+               .reshape(b, stack.shape[1], f, f)[:, :, 1:s + 1, 1:s + 1])
+        return out.transpose(0, 2, 3, 1)
+
+
 class DenseBlock(nn.Module):
     """torchvision _DenseBlock: concat-growth over num_layers layers.
 
@@ -207,6 +364,7 @@ class Encoder(nn.Module):
     remat: bool = False
     fused: str = "off"
     growth: str = "off"
+    flat: str = "off"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -214,9 +372,18 @@ class Encoder(nn.Module):
         x = nn.Conv(96, (7, 7), strides=(2, 2), padding=3,
                     dtype=self.dtype, name="conv_e1")(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
-        x = DenseBlock(6, 57, 48, dtype=self.dtype, remat=self.remat,
-                       fused=self.fused, growth=self.growth,
-                       name="dense_e2")(x, train)
+        # S=57 block: the flat-layout path keeps the concat stack in the
+        # kernel's own layout (every layer kernelized, glue-free); param
+        # tree identical, so the choice is runtime-routable.
+        if self.flat in ("on", "interpret"):
+            x = DenseBlockFlat(6, 57, 48, dtype=self.dtype,
+                               remat=self.remat,
+                               interpret=self.flat == "interpret",
+                               name="dense_e2")(x, train)
+        else:
+            x = DenseBlock(6, 57, 48, dtype=self.dtype, remat=self.remat,
+                           fused=self.fused, growth=self.growth,
+                           name="dense_e2")(x, train)
         x = pad_br(x)
         x = Transition(192, dtype=self.dtype, name="trans_e2")(x, train)
         x = DenseBlock(12, 29, 48, dtype=self.dtype, remat=self.remat,

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from md_rdm_tpu.core.config import DECODER_SIZES, ModelConfig, decomposition_depth
 from md_rdm_tpu.models.decoder import Decoder, build_cross_scale_sparse
-from md_rdm_tpu.models.densenet import Encoder, resolve_fused
+from md_rdm_tpu.models.densenet import Encoder, resolve_flat, resolve_fused
 from md_rdm_tpu.ops.als import als_factorize_grouped
 from md_rdm_tpu.ops.decompose import decompose_depth_map, fine_detail_matrices, make_pred
 from md_rdm_tpu.ops.geometry import normalize_gm
@@ -77,9 +77,10 @@ class DepthEstimationNet(nn.Module):
     def __call__(self, x, train: bool = False):
         cfg = self.config
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        feats = Encoder(dtype=dtype, remat=cfg.remat,
-                        fused=resolve_fused(cfg.fused_dense),
+        fused = resolve_fused(cfg.fused_dense)
+        feats = Encoder(dtype=dtype, remat=cfg.remat, fused=fused,
                         growth=resolve_fused(cfg.growth_matmul),
+                        flat=resolve_flat(cfg.flat_block, fused),
                         name="encoder")(x, train=train)
         if cfg.freeze_encoder:
             feats = jax.lax.stop_gradient(feats)
