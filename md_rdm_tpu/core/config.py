@@ -82,7 +82,8 @@ class ModelConfig:
     # the whole block runs in the Pallas kernel's lead-frame layout, one
     # entry/exit transpose instead of per-layer prep/reshape glue
     # (PERF.md round-4 gap analysis: 6.3 ms/step of glue).  "off" until
-    # the TPU measurement lands; "on"/"interpret" force; "auto" = on
+    # the TPU measurement lands; "on"/"interpret" force (S=57 block);
+    # "on_all" extends to the S=29/15 blocks (bench mode); "auto" = on
     # when the fused kernel is on (real TPU).
     flat_block: str = "off"
     # Full-lane matmul formulation of the XLA-routed 3x3 growth convs

@@ -817,17 +817,35 @@ def sandwich_bwd_flops(b: int, s: int, c_in: int, c_mid: int,
     return 2 * b * s * s * c_mid * (3 * c_in + 2 * 9 * growth)
 
 
+def flat_sizes(flat: str) -> frozenset:
+    """Spatial sizes the flat block path routes for a flat mode."""
+    if flat in ("on", "interpret"):
+        return frozenset({57})
+    if flat == "on_all":
+        return frozenset({57, 29, 15})
+    return frozenset()
+
+
 def fused_hidden_flops(batch: int, growth: int = 48, mode: str = "on",
-                       train: bool = False, bwd: bool = False) -> int:
+                       train: bool = False, bwd: bool = False,
+                       flat: str = "off") -> int:
     """Total per-forward flops hidden inside Pallas sandwich calls for the
     flagship encoder (blocks at S=57/29/15 with the reference's bn_size =
     spatial quirk, RDM_Net.py:526-531), honoring the routing for
     ``mode``/``train``.  ``bwd`` counts the fused-backward programs
-    instead (only sizes where :func:`bwd_routes`).  Benchmarks add this
-    to XLA's cost analysis so MFU stays honest when the kernel is on."""
+    instead (only sizes where :func:`bwd_routes`).  ``flat`` marks block
+    sizes routed through DenseBlockFlat: every layer there is a Pallas
+    call with the Pallas backward (mult 1 + bwd), regardless of the NHWC
+    routing tables.  Benchmarks add this to XLA's cost analysis so MFU
+    stays honest when the kernel is on."""
+    fs = flat_sizes(flat)
     total = 0
     for s, n_layers, c0 in ((57, 6, 96), (29, 12, 192), (15, 36, 384)):
-        if bwd:
+        if s in fs:
+            mult = 1   # flat always pairs the Pallas fwd with its bwd
+            if bwd and not train:
+                continue
+        elif bwd:
             if not (routes(s, train, mode) and bwd_routes(s, mode)):
                 continue
             mult = 1

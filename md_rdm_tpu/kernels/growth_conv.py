@@ -91,7 +91,7 @@ def growth_conv_matmul(z: jnp.ndarray, w2: jnp.ndarray) -> jnp.ndarray:
 
 def growth_flop_inflation(batch: int, mode: str = "on",
                           fused: str = "on", train: bool = False,
-                          growth_rate: int = 48) -> int:
+                          growth_rate: int = 48, flat: str = "off") -> int:
     """Extra flops XLA's cost_analysis counts for the matmul formulation
     over the conv it replaces - SUBTRACT this for honest MFU accounting
     (benchmarks must report achieved *algorithmic* conv flops, not the
@@ -107,11 +107,13 @@ def growth_flop_inflation(batch: int, mode: str = "on",
     a further ~8*G*LP adds per instance.  Residual error (pad/relu
     bookkeeping) is <0.5% of a train step's total flops.
     """
+    from md_rdm_tpu.kernels.dense_sandwich import flat_sizes
     from md_rdm_tpu.kernels.dense_sandwich import routes as sandwich_routes
     g = growth_rate
+    fs = flat_sizes(flat)
     total = 0
     for s, n_layers, _c0 in ((57, 6, 96), (29, 12, 192), (15, 36, 384)):
-        if sandwich_routes(s, train, fused):
+        if s in fs or sandwich_routes(s, train, fused):
             continue
         if not growth_routes(s, train, mode):
             continue

@@ -374,26 +374,29 @@ class Encoder(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         # S=57 block: the flat-layout path keeps the concat stack in the
         # kernel's own layout (every layer kernelized, glue-free); param
-        # tree identical, so the choice is runtime-routable.
-        if self.flat in ("on", "interpret"):
-            x = DenseBlockFlat(6, 57, 48, dtype=self.dtype,
-                               remat=self.remat,
-                               interpret=self.flat == "interpret",
-                               name="dense_e2")(x, train)
-        else:
-            x = DenseBlock(6, 57, 48, dtype=self.dtype, remat=self.remat,
-                           fused=self.fused, growth=self.growth,
-                           name="dense_e2")(x, train)
+        # tree identical, so the choice is runtime-routable.  "on_all"
+        # extends it to the S=29/15 blocks, where the original NHWC
+        # kernel lost precisely to the per-layer prep the flat layout
+        # removes (bench mode; routing decided by measurement).
+        def block(n_layers, bn, name, spatial):
+            use_flat = (self.flat in ("on", "interpret")
+                        and spatial == 57) or self.flat == "on_all"
+            if use_flat:
+                return DenseBlockFlat(n_layers, bn, 48, dtype=self.dtype,
+                                      remat=self.remat,
+                                      interpret="interpret" in self.flat,
+                                      name=name)
+            return DenseBlock(n_layers, bn, 48, dtype=self.dtype,
+                              remat=self.remat, fused=self.fused,
+                              growth=self.growth, name=name)
+
+        x = block(6, 57, "dense_e2", 57)(x, train)
         x = pad_br(x)
         x = Transition(192, dtype=self.dtype, name="trans_e2")(x, train)
-        x = DenseBlock(12, 29, 48, dtype=self.dtype, remat=self.remat,
-                       fused=self.fused, growth=self.growth,
-                       name="dense_e3")(x, train)
+        x = block(12, 29, "dense_e3", 29)(x, train)
         x = pad_br(x)
         x = Transition(384, dtype=self.dtype, name="trans_e3")(x, train)
-        x = DenseBlock(36, 15, 48, dtype=self.dtype, remat=self.remat,
-                       fused=self.fused, growth=self.growth,
-                       name="dense_e4")(x, train)
+        x = block(36, 15, "dense_e4", 15)(x, train)
         x = pad_br(x)
         x = Transition(1056, dtype=self.dtype, name="trans_e4")(x, train)
         return x

@@ -124,7 +124,7 @@ def flops_of(jitted, *a):
 def measure_forward(batch: int = 16, k_lo: int = 4, k_hi: int = 16,
                     dtype: str = "float32", decoder_ids=(1,),
                     fused: str = "auto", growth: str = "auto",
-                    flops: bool = True, on_dt=None):
+                    flat: str = "off", flops: bool = True, on_dt=None):
     """(seconds per forward, flops per forward) for the given decoder set.
 
     K forwards run inside ONE jit via ``lax.fori_loop`` with a *dynamic*
@@ -144,7 +144,8 @@ def measure_forward(batch: int = 16, k_lo: int = 4, k_hi: int = 16,
     x = jnp.asarray(rng.random((batch, 226, 226, 3)), jnp.float32)
     model = DepthEstimationNet(
         ModelConfig(decoder_ids=tuple(decoder_ids), compute_dtype=dtype,
-                    fused_dense=fused, growth_matmul=growth))
+                    fused_dense=fused, growth_matmul=growth,
+                    flat_block=flat))
     print(f"  [true_bench] init model (dtype={dtype} fused={fused})",
           file=sys.stderr, flush=True)
     # Init on the host CPU: the fused and unfused graphs register
@@ -184,38 +185,42 @@ def measure_forward(batch: int = 16, k_lo: int = 4, k_hi: int = 16,
 
         fl = flops_of(fwd1, variables, x)
         if fl:
-            fl += _hidden_flops(fused, batch)
-            fl -= _growth_inflation(growth, fused, batch)
+            fl += _hidden_flops(fused, batch, flat=flat)
+            fl -= _growth_inflation(growth, fused, batch, flat=flat)
     return dt, fl
 
 
 def _hidden_flops(fused: str, batch: int, train: bool = False,
-                  bwd: bool = False) -> int:
+                  bwd: bool = False, flat: str = "off") -> int:
     """Flops inside Pallas sandwich calls, invisible to cost_analysis."""
     from md_rdm_tpu.kernels.dense_sandwich import fused_hidden_flops
-    from md_rdm_tpu.models.densenet import resolve_fused
+    from md_rdm_tpu.models.densenet import resolve_flat, resolve_fused
     mode = resolve_fused(fused)
-    if mode in ("on", "on_all", "on_all_bwd"):
-        return fused_hidden_flops(batch, mode=mode, train=train, bwd=bwd)
+    fm = resolve_flat(flat, mode)
+    if mode in ("on", "on_all", "on_all_bwd") or fm != "off":
+        return fused_hidden_flops(batch, mode=mode, train=train, bwd=bwd,
+                                  flat=fm)
     return 0
 
 
 def _growth_inflation(growth: str, fused: str, batch: int,
-                      train: bool = False) -> int:
+                      train: bool = False, flat: str = "off") -> int:
     """Lane-pad flop inflation of the matmul growth conv, subtracted so
     MFU reports algorithmic conv flops (kernels/growth_conv.py)."""
     from md_rdm_tpu.kernels.growth_conv import growth_flop_inflation
-    from md_rdm_tpu.models.densenet import resolve_fused
+    from md_rdm_tpu.models.densenet import resolve_flat, resolve_fused
     gm = resolve_fused(growth)
+    fu = resolve_fused(fused)
     if gm in ("on", "on_all"):
-        return growth_flop_inflation(batch, mode=gm,
-                                     fused=resolve_fused(fused),
-                                     train=train)
+        return growth_flop_inflation(batch, mode=gm, fused=fu,
+                                     train=train,
+                                     flat=resolve_flat(flat, fu))
     return 0
 
 
 def forward_json(batch: int, k_lo: int, k_hi: int, dtype: str,
-                 fused: str, growth: str = "auto") -> None:
+                 fused: str, growth: str = "auto",
+                 flat: str = "off") -> None:
     """Single-dtype forward measurement for the bench.py orchestrator.
 
     Prints PROGRESSIVE JSON lines to stdout (each a superset of the last):
@@ -223,14 +228,15 @@ def forward_json(batch: int, k_lo: int, k_hi: int, dtype: str,
     flops-enriched one.  If the parent kills this process mid-flops (budget
     exceeded), the timing line already printed is still parseable."""
     out = {"dtype": dtype, "fused": fused, "growth": growth,
-           "batch": batch}
+           "flat": flat, "batch": batch}
 
     def on_dt(dt):
         out.update(dt_s=dt, img_per_s=batch / dt)
         print(json.dumps(out), flush=True)
 
     dt, fl = measure_forward(batch, k_lo, k_hi, dtype, fused=fused,
-                             growth=growth, flops=True, on_dt=on_dt)
+                             growth=growth, flat=flat, flops=True,
+                             on_dt=on_dt)
     if fl:
         out["flops"] = fl
         out["mfu_pct"] = round(100 * fl / dt / V5E_PEAK_FLOPS, 2)
@@ -257,11 +263,15 @@ def main():
     ap.add_argument("--growth", default="auto",
                     choices=("auto", "on", "on_all", "off"),
                     help="ModelConfig.growth_matmul for every section")
+    ap.add_argument("--flat", default="off",
+                    choices=("auto", "on", "on_all", "off", "interpret"),
+                    help="ModelConfig.flat_block for every section")
     args = ap.parse_args()
 
     if args.forward_json:
         forward_json(args.batch, max(args.k // 4, 1), args.k,
-                     args.forward_json, args.fused, args.growth)
+                     args.forward_json, args.fused, args.growth,
+                     args.flat)
         return
 
     _setup()
@@ -333,7 +343,8 @@ def main():
         cfg = Config(model=ModelConfig(decoder_ids=decoder_ids,
                                        compute_dtype=dtype, remat=remat,
                                        fused_dense=args.fused,
-                                       growth_matmul=args.growth),
+                                       growth_matmul=args.growth,
+                                       flat_block=args.flat),
                      train=TrainConfig(metrics=("delta1", "mse")))
         module = DepthTrainer(cfg)
         tx = make_optimizer(1e-4)
@@ -370,9 +381,12 @@ def main():
             # bwd-routed layers (HLO inspection, round 3: the custom_vjp
             # residuals are the layer inputs, so XLA DCEs their replay),
             # plus one bwd program per bwd-routed layer.
-            fl += _hidden_flops(args.fused, bb, train=True)
-            fl += _hidden_flops(args.fused, bb, train=True, bwd=True)
-            fl -= _growth_inflation(args.growth, args.fused, bb, train=True)
+            fl += _hidden_flops(args.fused, bb, train=True,
+                                flat=args.flat)
+            fl += _hidden_flops(args.fused, bb, train=True, bwd=True,
+                                flat=args.flat)
+            fl -= _growth_inflation(args.growth, args.fused, bb,
+                                    train=True, flat=args.flat)
         if fl:
             record(f"{tag}_gflops", round(fl / 1e9, 1))
             record(f"{tag}_mfu_pct", round(100 * fl / dt / V5E_PEAK_FLOPS, 1))
