@@ -88,3 +88,32 @@ def test_dense_layer_routed_matches_unrouted():
     yr = routed.apply(vr, x, False)
     np.testing.assert_allclose(np.asarray(yr), np.asarray(yp),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_flop_inflation_bookkeeping():
+    """The MFU correction must cover exactly the routed, non-flat,
+    non-sandwich layers (true_bench subtracts it from cost_analysis)."""
+    from md_rdm_tpu.kernels.growth_conv import (_pad128,
+                                                growth_flop_inflation)
+    b, g = 16, 48
+
+    def expect(sizes):
+        tot = 0
+        for s, n in sizes:
+            f = s + 2
+            lp = _pad128(s * f)
+            zl = _pad128(max(f * f, 2 * f + 2 + lp))
+            tot += n * (2 * b * 9 * g * (s * g) * (zl - s * s)
+                        + 8 * b * g * lp)
+        return tot
+
+    # fused routes 57 -> inflation covers 29 (12 layers) + 15 (36)
+    assert growth_flop_inflation(b, mode="on", fused="on") == \
+        expect([(29, 12), (15, 36)])
+    # flat on_all -> nothing left for the growth path
+    assert growth_flop_inflation(b, mode="on", fused="on",
+                                 flat="on_all") == 0
+    # train multiplies the dot inflation by 4 (fwd + replay + 2 bwd)
+    fwd = growth_flop_inflation(b, mode="on", fused="on")
+    tr = growth_flop_inflation(b, mode="on", fused="on", train=True)
+    assert tr > 3.9 * fwd * 0.9 and tr < 4.1 * fwd
