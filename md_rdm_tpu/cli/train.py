@@ -96,6 +96,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Rematerialize encoder dense blocks (default on: "
                         "faster and leaner; see PERF.md)")
     p.add_argument("--no_remat", dest="remat", action="store_false")
+    p.add_argument("--fused_dense", default="auto",
+                   choices=("auto", "on", "on_all", "on_all_bwd", "off",
+                            "interpret"),
+                   help="Pallas dense-sandwich routing "
+                        "(kernels/dense_sandwich.py; auto = on for TPU)")
+    p.add_argument("--growth_matmul", default="auto",
+                   choices=("auto", "on", "on_all", "off"),
+                   help="full-lane matmul growth convs at the measured-"
+                        "profitable sizes (kernels/growth_conv.py)")
+    p.add_argument("--flat_block", default="off",
+                   choices=("auto", "on", "on_all", "off", "interpret"),
+                   help="flat-layout dense blocks (kernel-native I/O, "
+                        "models/densenet.py DenseBlockFlat)")
     p.add_argument("--fusion_eps", type=float, default=0.0,
                    help="Stabilization floor for the fine-detail fusion "
                         "tail (0 = faithful reference semantics; 1e-2 "
@@ -275,7 +288,10 @@ def build_config(args):
             remat=args.remat,
             soft_ordinal_decode=args.soft_decode,
             fusion_init=args.fusion_init,
-            fusion_eps=args.fusion_eps),
+            fusion_eps=args.fusion_eps,
+            fused_dense=args.fused_dense,
+            growth_matmul=args.growth_matmul,
+            flat_block=args.flat_block),
         data=DataConfig(dataset=args.dataset,
                         dataset_type=args.dataset_type,
                         path=args.nyu_path or args.data_path,
