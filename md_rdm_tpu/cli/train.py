@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "|N(0,1)| (RDM_Net.py:449-456); normalized = "
                         "slot weights sum to 1; primary = first candidate "
                         "1.0, rest 0.01 (start ~= first decoder alone)")
+    p.add_argument("--save_top_k", type=int, default=1,
+                   help="keep the k best checkpoints on the monitored "
+                        "metric (Lightning ModelCheckpoint save_top_k, "
+                        "train.py:43); 0 disables checkpointing")
     p.add_argument("--plateau_patience", type=int, default=2,
                    help="ReduceLROnPlateau patience in epochs (reference "
                         "train.py:44 hardcodes 2; raise for from-scratch "
@@ -312,6 +316,7 @@ def build_config(args):
             overfit=args.overfit, dev=args.dev,
             debug_nans=args.detect_anomaly,
             checkpoint_dir=args.workdir, resume=args.resume,
+            save_top_k=args.save_top_k,
             data_parallel=args.devices),
     )
 

@@ -20,18 +20,44 @@ class CheckpointManager:
         self.directory.mkdir(parents=True, exist_ok=True)
         self.monitor = monitor
         self.mode = mode
+        self.save_top_k = save_top_k
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=save_top_k,
+                max_to_keep=max(save_top_k, 1),
                 best_fn=lambda m: m[monitor],
                 best_mode=mode,
                 enable_async_checkpointing=False,
             ),
         )
 
+    def would_keep(self, metrics: Dict[str, float]) -> bool:
+        """Whether a save with these metrics would survive top-k
+        eviction.  The Trainer checks this BEFORE ``jax.device_get`` of
+        the full train state: on a remote-TPU relay that fetch is the
+        dominant epoch cost (measured 1.6 GB / up to 20 min for the f32
+        optimal-set state, round 5), and orbax only evicts AFTER
+        serializing, so skipping non-keepers up front saves both the
+        fetch and the write.  ``save_top_k=0`` disables saving."""
+        if self.save_top_k <= 0:
+            return False
+        steps = self._mgr.all_steps()
+        if len(steps) < self.save_top_k:
+            return True
+        vals = []
+        for s in steps:
+            m = self._mgr.metrics(s)
+            if m is None or self.monitor not in m:
+                return True
+            vals.append(float(m[self.monitor]))
+        worst = min(vals) if self.mode == "max" else max(vals)
+        v = float(metrics[self.monitor])
+        return v > worst if self.mode == "max" else v < worst
+
     def save(self, epoch: int, state: Any, metrics: Dict[str, float],
              extra: Optional[Dict[str, Any]] = None):
+        if self.save_top_k <= 0:
+            return
         args = {"state": ocp.args.StandardSave(state)}
         if extra:
             # extras (scheduler state etc.) may hold strings -> JSON handler

@@ -308,9 +308,14 @@ class Trainer:
                     opt_state=set_lr(state.opt_state, new_lr))
             self.logger.log(epoch, {"lr": new_lr})
 
-            self.ckpt.save(
-                epoch, jax.device_get(state), val_metrics,
-                extra={"scheduler": self.scheduler.state_dict()})
+            # top-k pre-check BEFORE device_get: fetching the full train
+            # state through the relay is the dominant epoch cost (1.6 GB
+            # for the f32 optimal-set state), and orbax evicts only after
+            # serializing - skip non-keepers entirely.
+            if self.ckpt.would_keep(val_metrics):
+                self.ckpt.save(
+                    epoch, jax.device_get(state), val_metrics,
+                    extra={"scheduler": self.scheduler.state_dict()})
             print(f"epoch {epoch}: "
                   + " ".join(f"val_{k}={v:.4f}"
                              for k, v in val_metrics.items())

@@ -250,3 +250,29 @@ def test_checkpoint_roundtrip(tmp_path, trainer_state):
         np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
         np.asarray(jax.tree_util.tree_leaves(host_state.params)[0]))
     mgr.close()
+
+
+def test_checkpoint_would_keep(tmp_path, trainer_state):
+    """Top-k pre-check (skips the full-state device_get for non-keepers;
+    the relay fetch is the dominant epoch cost - see Trainer epoch loop)."""
+    from md_rdm_tpu.training.checkpoint import CheckpointManager
+
+    cfg, module, tx, state, _step = trainer_state
+    host_state = jax.device_get(state)
+    mgr = CheckpointManager(str(tmp_path / "ck"), monitor="delta1",
+                            mode="max", save_top_k=1)
+    assert mgr.would_keep({"delta1": 0.3})       # empty -> always keep
+    mgr.save(0, host_state, {"delta1": 0.3})
+    assert not mgr.would_keep({"delta1": 0.2})   # worse than the kept one
+    assert mgr.would_keep({"delta1": 0.4})
+    mgr.save(1, host_state, {"delta1": 0.4})
+    assert mgr.best_step() == 1
+    mgr.close()
+
+    # save_top_k=0 disables checkpointing entirely
+    mgr0 = CheckpointManager(str(tmp_path / "ck0"), monitor="delta1",
+                             mode="max", save_top_k=0)
+    assert not mgr0.would_keep({"delta1": 1.0})
+    mgr0.save(0, host_state, {"delta1": 1.0})
+    assert mgr0.latest_step() is None
+    mgr0.close()

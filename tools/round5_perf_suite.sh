@@ -34,11 +34,14 @@ bench() {
   log "bench $name done rc=$?"
 }
 
-bench base_bf16 --fused auto --growth off --flat off
+# order: new configs first (each cold compile is 15-30 min through the
+# relay); the round-4 baseline numbers exist (BENCH_r04, PERF.md), so
+# the same-session base control runs only if time remains.
 bench growth_bf16 --fused auto --growth on --flat off
 bench flat_bf16 --fused auto --growth off --flat on
 bench both_bf16 --fused auto --growth on --flat on
-bench flatall_bf16 --fused auto --growth off --flat on_all
+bench flatall_bf16 --fused auto --growth on --flat on_all
+bench base_bf16 --fused auto --growth off --flat off
 
 # input-pipeline probe: device augment, uint8 wire, synthetic, bf16 b16,
 # 3 epochs - steady-state wall/step vs the device step time (from the
