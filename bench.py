@@ -51,15 +51,15 @@ def _remaining():
     return BUDGET_S - (time.time() - _T0)
 
 
-def _run_stage(dtype, fused, k, timeout_s, growth="auto"):
+def _run_stage(dtype, fused, k, timeout_s, growth="auto", flat="auto"):
     """Run one forward measurement in a subprocess; return the LAST
     parseable JSON line from its stdout (progressive lines: timing first,
     flops-enriched second), or None on failure/timeout with no output."""
     cmd = [sys.executable, os.path.join(_HERE, "tools", "true_bench.py"),
            "--forward_json", dtype, "--fused", fused, "--growth", growth,
-           "--batch", str(BATCH), "--k", str(k)]
-    _log(f"stage: dtype={dtype} fused={fused} growth={growth} k={k} "
-         f"timeout={timeout_s:.0f}s")
+           "--flat", flat, "--batch", str(BATCH), "--k", str(k)]
+    _log(f"stage: dtype={dtype} fused={fused} growth={growth} flat={flat} "
+         f"k={k} timeout={timeout_s:.0f}s")
     try:
         proc = subprocess.run(cmd, stdout=subprocess.PIPE, cwd=_HERE,
                               timeout=max(timeout_s, 1))
@@ -88,11 +88,11 @@ def main():
     # is the round-2 configuration whose bench was driver-green at 642
     # img/s; the k=4 rung shrinks the executed-iteration count (compile
     # surface is already 1 program/stage via the dynamic trip count).
-    ladder = [("bfloat16", "auto", 16, "auto"),
-              ("bfloat16", "off", 16, "off"),
-              ("bfloat16", "off", 4, "off")]
+    ladder = [("bfloat16", "auto", 16, "auto", "auto"),
+              ("bfloat16", "off", 16, "off", "off"),
+              ("bfloat16", "off", 4, "off", "off")]
     primary = None
-    for i, (dtype, fused, k, growth) in enumerate(ladder):
+    for i, (dtype, fused, k, growth, flat) in enumerate(ladder):
         if _remaining() < 45:
             _log("budget exhausted; skipping remaining rungs")
             break
@@ -108,7 +108,8 @@ def main():
             # hard-respect the budget: never let a rung run past it
             timeout_s = max(_remaining() - 15, 30)
             timeout_s = min(timeout_s, max(_remaining() - 15, 1))
-        r = _run_stage(dtype, fused, k, timeout_s, growth=growth)
+        r = _run_stage(dtype, fused, k, timeout_s, growth=growth,
+                       flat=flat)
         if r and r.get("dt_s"):
             primary = r
             break
@@ -130,7 +131,8 @@ def main():
     if _remaining() > bf16_wall + 90:
         f32 = _run_stage("float32", primary["fused"], 16,
                          _remaining() - 30,
-                         growth=primary.get("growth", "auto"))
+                         growth=primary.get("growth", "auto"),
+                         flat=primary.get("flat", "auto"))
 
     ips = primary["img_per_s"]
     out = {

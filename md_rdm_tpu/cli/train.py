@@ -109,7 +109,7 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("auto", "on", "on_all", "off"),
                    help="full-lane matmul growth convs at the measured-"
                         "profitable sizes (kernels/growth_conv.py)")
-    p.add_argument("--flat_block", default="off",
+    p.add_argument("--flat_block", default="auto",
                    choices=("auto", "on", "on_all", "off", "interpret"),
                    help="flat-layout dense blocks (kernel-native I/O, "
                         "models/densenet.py DenseBlockFlat)")

@@ -81,11 +81,13 @@ class ModelConfig:
     # Flat-layout S=57 dense block (models/densenet.py DenseBlockFlat):
     # the whole block runs in the Pallas kernel's lead-frame layout, one
     # entry/exit transpose instead of per-layer prep/reshape glue
-    # (PERF.md round-4 gap analysis: 6.3 ms/step of glue).  "off" until
-    # the TPU measurement lands; "on"/"interpret" force (S=57 block);
-    # "on_all" extends to the S=29/15 blocks (bench mode); "auto" = on
-    # when the fused kernel is on (real TPU).
-    flat_block: str = "off"
+    # (PERF.md round-4 gap analysis: 6.3 ms/step of glue).  Measured
+    # round 5: bf16 train step 67.8 -> 62.5 ms (49.5 -> 53.8% MFU), f32
+    # 98.1 -> 81.5 ms.  "auto" = measured flat_routes tables when the
+    # fused kernel is on (real TPU); "on"/"interpret" force (table
+    # sizes); "on_all" forces every block (bench mode; S=29/15 measured
+    # dispatch-bound).
+    flat_block: str = "auto"
     # Full-lane matmul formulation of the XLA-routed 3x3 growth convs
     # (kernels/growth_conv.py) at the spatial sizes where it measures
     # faster than lax conv's 48/128-lane lowering.  "auto" = on real TPU;

@@ -817,13 +817,35 @@ def sandwich_bwd_flops(b: int, s: int, c_in: int, c_mid: int,
     return 2 * b * s * s * c_mid * (3 * c_in + 2 * 9 * growth)
 
 
-def flat_sizes(flat: str) -> frozenset:
+# Flat-block routing tables (round-5 measurement, results/round5/perf):
+# TRAIN S=57 wins decisively (bf16 step 62.5 vs 67.8 ms, f32 81.5 vs
+# 98.1 - the per-layer glue runs twice under remat plus its vjp);
+# S=29/15 flat loses hard (flatall train 128 vs 62.5 ms bf16: 48 tiny
+# per-batch-element programs are dispatch-bound, same reason the NHWC
+# kernel never routed there).  EVAL is a near-tie measured against the
+# same-session base control (see PERF.md round 5) - the table records
+# the measured winner.
+_FLAT_PROFITABLE_TRAIN = frozenset({57})
+_FLAT_PROFITABLE_EVAL = frozenset({57})
+
+
+def flat_routes(s: int, train: bool, mode: str) -> bool:
+    """Whether the Encoder routes a dense block through DenseBlockFlat
+    (train and eval trace separately; the param tree is identical, so
+    the choice is free per mode)."""
+    if mode == "on_all":
+        return True
+    if mode == "interpret":
+        return s == 57
+    if mode != "on":
+        return False
+    return s in (_FLAT_PROFITABLE_TRAIN if train else _FLAT_PROFITABLE_EVAL)
+
+
+def flat_sizes(flat: str, train: bool = False) -> frozenset:
     """Spatial sizes the flat block path routes for a flat mode."""
-    if flat in ("on", "interpret"):
-        return frozenset({57})
-    if flat == "on_all":
-        return frozenset({57, 29, 15})
-    return frozenset()
+    return frozenset(s for s in (57, 29, 15)
+                     if flat_routes(s, train, flat))
 
 
 def fused_hidden_flops(batch: int, growth: int = 48, mode: str = "on",
@@ -838,7 +860,7 @@ def fused_hidden_flops(batch: int, growth: int = 48, mode: str = "on",
     call with the Pallas backward (mult 1 + bwd), regardless of the NHWC
     routing tables.  Benchmarks add this to XLA's cost analysis so MFU
     stays honest when the kernel is on."""
-    fs = flat_sizes(flat)
+    fs = flat_sizes(flat, train)
     total = 0
     for s, n_layers, c0 in ((57, 6, 96), (29, 12, 192), (15, 36, 384)):
         if s in fs:

@@ -35,12 +35,17 @@ def _pad128(n: int) -> int:
     return -(-n // 128) * 128
 
 
-# Spatial sizes where the matmul formulation beats lax conv on real v5e
-# (tools/bench_sandwich.py --growth; PERF.md round 5).  Populated from
-# measurement only - "on" routes exactly these; "on_all" forces every
-# size (benchmark/test mode).
-_PROFITABLE_EVAL = frozenset({29, 15})
-_PROFITABLE_TRAIN = frozenset({29, 15})
+# Spatial sizes where the matmul formulation beats lax conv on real v5e.
+# MEASURED NEGATIVE EVERYWHERE (round 5, results/round5/perf): at the
+# model level the formulation lost both the eval forward (784 vs 833
+# img/s bf16 b16) and the train step (80.3 vs 67.8 ms bf16; 104 vs 98 ms
+# f32) - the [9G, B, ZL] f32 intermediate (99 MB at S=57-scale) and the
+# dz/dw2 autodiff transposes cost more HBM traffic than the 48/128 lane
+# fill costs MXU time, and XLA fuses BN/relu into its conv lowering,
+# which the matmul's prep transpose breaks.  Tables stay empty; "on_all"
+# still forces every size for benchmarking/tests.
+_PROFITABLE_EVAL = frozenset()
+_PROFITABLE_TRAIN = frozenset()
 
 
 def growth_routes(s: int, train: bool, mode: str) -> bool:
@@ -110,7 +115,7 @@ def growth_flop_inflation(batch: int, mode: str = "on",
     from md_rdm_tpu.kernels.dense_sandwich import flat_sizes
     from md_rdm_tpu.kernels.dense_sandwich import routes as sandwich_routes
     g = growth_rate
-    fs = flat_sizes(flat)
+    fs = flat_sizes(flat, train)
     total = 0
     for s, n_layers, _c0 in ((57, 6, 96), (29, 12, 192), (15, 36, 384)):
         if s in fs or sandwich_routes(s, train, fused):

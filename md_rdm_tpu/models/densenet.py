@@ -29,7 +29,8 @@ from md_rdm_tpu.kernels.dense_sandwich import (LEAD, _geometry_flat,
                                                conv_bn_stats,
                                                conv_bn_stats_flat,
                                                dense_sandwich,
-                                               dense_sandwich_flat, routes)
+                                               dense_sandwich_flat,
+                                               flat_routes, routes)
 from md_rdm_tpu.kernels.growth_conv import growth_conv_matmul, growth_routes
 
 Dtype = Any
@@ -374,14 +375,12 @@ class Encoder(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         # S=57 block: the flat-layout path keeps the concat stack in the
         # kernel's own layout (every layer kernelized, glue-free); param
-        # tree identical, so the choice is runtime-routable.  "on_all"
-        # extends it to the S=29/15 blocks, where the original NHWC
-        # kernel lost precisely to the per-layer prep the flat layout
-        # removes (bench mode; routing decided by measurement).
+        # tree identical, so the choice is runtime-routable PER MODE
+        # (train/eval trace separately) via the measured flat_routes
+        # tables.  "on_all" forces every block (bench mode; the S=29/15
+        # flat blocks measured dispatch-bound - see kernels tables).
         def block(n_layers, bn, name, spatial):
-            use_flat = (self.flat in ("on", "interpret")
-                        and spatial == 57) or self.flat == "on_all"
-            if use_flat:
+            if flat_routes(spatial, train, self.flat):
                 return DenseBlockFlat(n_layers, bn, 48, dtype=self.dtype,
                                       remat=self.remat,
                                       interpret="interpret" in self.flat,

@@ -62,11 +62,13 @@ def test_bfloat16_close():
 
 
 def test_routing_table():
-    # measured-profitable sizes only under "on"; "on_all" forces all
-    assert growth_routes(29, True, "on") and growth_routes(15, False, "on")
-    assert not growth_routes(57, True, "on")   # S=57 is the Pallas kernel's
-    assert not growth_routes(8, True, "on")    # decoder block: 4x flop pad
+    # measured NEGATIVE at every size (round 5, results/round5/perf):
+    # "on" routes nothing; "on_all" still forces all (bench/test mode)
+    assert not growth_routes(29, True, "on")
+    assert not growth_routes(15, False, "on")
+    assert not growth_routes(57, True, "on")
     assert growth_routes(8, True, "on_all")
+    assert growth_routes(29, True, "on_all")
     assert not growth_routes(29, True, "off")
 
 
@@ -107,13 +109,15 @@ def test_flop_inflation_bookkeeping():
                         + 8 * b * g * lp)
         return tot
 
-    # fused routes 57 -> inflation covers 29 (12 layers) + 15 (36)
-    assert growth_flop_inflation(b, mode="on", fused="on") == \
+    # "on" routes nothing (measured negative) -> zero correction
+    assert growth_flop_inflation(b, mode="on", fused="on") == 0
+    # "on_all" with the sandwich routing 57 -> covers 29 (12) + 15 (36)
+    assert growth_flop_inflation(b, mode="on_all", fused="on") == \
         expect([(29, 12), (15, 36)])
     # flat on_all -> nothing left for the growth path
-    assert growth_flop_inflation(b, mode="on", fused="on",
+    assert growth_flop_inflation(b, mode="on_all", fused="on",
                                  flat="on_all") == 0
     # train multiplies the dot inflation by 4 (fwd + replay + 2 bwd)
-    fwd = growth_flop_inflation(b, mode="on", fused="on")
-    tr = growth_flop_inflation(b, mode="on", fused="on", train=True)
+    fwd = growth_flop_inflation(b, mode="on_all", fused="on")
+    tr = growth_flop_inflation(b, mode="on_all", fused="on", train=True)
     assert tr > 3.9 * fwd * 0.9 and tr < 4.1 * fwd
