@@ -817,16 +817,19 @@ def sandwich_bwd_flops(b: int, s: int, c_in: int, c_mid: int,
     return 2 * b * s * s * c_mid * (3 * c_in + 2 * 9 * growth)
 
 
-# Flat-block routing tables (round-5 measurement, results/round5/perf):
-# TRAIN S=57 wins decisively (bf16 step 62.5 vs 67.8 ms, f32 81.5 vs
-# 98.1 - the per-layer glue runs twice under remat plus its vjp);
-# S=29/15 flat loses hard (flatall train 128 vs 62.5 ms bf16: 48 tiny
-# per-batch-element programs are dispatch-bound, same reason the NHWC
-# kernel never routed there).  EVAL is a near-tie measured against the
-# same-session base control (see PERF.md round 5) - the table records
-# the measured winner.
+# Flat-block routing tables (round-5 measurement, results/round5/perf,
+# all numbers same-session vs the base control):
+# TRAIN S=57 wins decisively (bf16 step 62.5 vs 67.8 ms = 53.8 vs 49.4%
+# MFU, f32 81.5 vs 86.7 - the per-layer glue runs twice under remat
+# plus its vjp, and the flat layout removes all of it); S=29/15 flat
+# loses hard (flatall train 128 vs 62.5 ms bf16: 48 tiny per-batch-
+# element programs are dispatch-bound, same reason the NHWC kernel
+# never routed there).  EVAL S=57 loses slightly (796 vs 838 img/s
+# bf16: the single fwd instance only pays ~1.5 ms of prep glue, less
+# than the flat path's ZT-lane inflation + hand-rolled BN cost less
+# XLA fusion) - eval stays on the NHWC kernel path.
 _FLAT_PROFITABLE_TRAIN = frozenset({57})
-_FLAT_PROFITABLE_EVAL = frozenset({57})
+_FLAT_PROFITABLE_EVAL = frozenset()
 
 
 def flat_routes(s: int, train: bool, mode: str) -> bool:

@@ -379,23 +379,29 @@ class Encoder(nn.Module):
         # (train/eval trace separately) via the measured flat_routes
         # tables.  "on_all" forces every block (bench mode; the S=29/15
         # flat blocks measured dispatch-bound - see kernels tables).
-        def block(n_layers, bn, name, spatial):
-            if flat_routes(spatial, train, self.flat):
+        def block(x, train, n_layers, bn, name):
+            # Route on the ACTUAL incoming shape: device-augment init
+            # traces the encoder at the raw pre-crop size (250x333 ->
+            # non-square spatial), where only the shape-generic NHWC
+            # path applies.  The param tree is identical either way, so
+            # init-at-raw-shape + apply-at-226 stays consistent.
+            s = x.shape[1]
+            if s == x.shape[2] and flat_routes(s, train, self.flat):
                 return DenseBlockFlat(n_layers, bn, 48, dtype=self.dtype,
                                       remat=self.remat,
                                       interpret="interpret" in self.flat,
-                                      name=name)
+                                      name=name)(x, train)
             return DenseBlock(n_layers, bn, 48, dtype=self.dtype,
                               remat=self.remat, fused=self.fused,
-                              growth=self.growth, name=name)
+                              growth=self.growth, name=name)(x, train)
 
-        x = block(6, 57, "dense_e2", 57)(x, train)
+        x = block(x, train, 6, 57, "dense_e2")
         x = pad_br(x)
         x = Transition(192, dtype=self.dtype, name="trans_e2")(x, train)
-        x = block(12, 29, "dense_e3", 29)(x, train)
+        x = block(x, train, 12, 29, "dense_e3")
         x = pad_br(x)
         x = Transition(384, dtype=self.dtype, name="trans_e3")(x, train)
-        x = block(36, 15, "dense_e4", 15)(x, train)
+        x = block(x, train, 36, 15, "dense_e4")
         x = pad_br(x)
         x = Transition(1056, dtype=self.dtype, name="trans_e4")(x, train)
         return x

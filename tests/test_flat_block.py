@@ -169,3 +169,22 @@ def test_block_gradients_match(remat):
         assert pa == pb
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=3e-4, err_msg=str(pa))
+
+
+def test_encoder_routes_on_actual_shape():
+    """Device-augment init traces the encoder at the raw pre-crop size
+    (non-square spatial) - flat routing must fall back to the shape-
+    generic path there and still produce the identical param tree
+    (round-5 pipeline probe regression)."""
+    from md_rdm_tpu.models.densenet import Encoder
+    rng = np.random.default_rng(0)
+    x_raw = jnp.asarray(rng.standard_normal((1, 250, 333, 3)), jnp.float32)
+    x226 = jnp.asarray(rng.standard_normal((1, 226, 226, 3)), jnp.float32)
+    enc = Encoder(fused="off", flat="interpret")
+    v_raw = enc.init(jax.random.PRNGKey(0), x_raw, train=True)
+    v_226 = enc.init(jax.random.PRNGKey(0), x226, train=True)
+    assert (jax.tree_util.tree_structure(v_raw)
+            == jax.tree_util.tree_structure(v_226))
+    # params init'd at the raw shape must apply at 226 (the live path)
+    y = enc.apply(v_raw, x226, train=False)
+    assert y.shape == (1, 8, 8, 1056)
