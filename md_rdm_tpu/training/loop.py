@@ -100,12 +100,27 @@ class Trainer:
             (config.train.seed or 0) ^ 0x5EED)
 
     # ------------------------------------------------------------- state ---
+    def _init_sample(self, sample_x: np.ndarray) -> np.ndarray:
+        """A model-shaped init sample.  With device-side augmentation the
+        train loader yields RAW pre-crop images (250x333) that only
+        ``train_step_device_aug`` can consume - the model itself always
+        sees image_size^2, and its decoders require the 8x8 encoder grid
+        (round-5 pipeline-probe regression).  Parameter shapes/values
+        don't depend on the sample's contents, so a zeros dummy at the
+        model size is an exact substitute."""
+        s = self.config.model.image_size
+        x = np.asarray(sample_x)[:1]
+        if x.shape[1:3] != (s, s):
+            x = np.zeros((1, s, s, x.shape[-1]), x.dtype)
+        return x
+
     def init_state(self, sample_x: np.ndarray,
                    rng: Optional[jax.Array] = None) -> TrainState:
         seed = self.config.train.seed
         rng = rng if rng is not None else jax.random.PRNGKey(
             seed if seed is not None else 0)
-        state = self.module.init(rng, self.tx, jnp.asarray(sample_x))
+        state = self.module.init(rng, self.tx,
+                                 jnp.asarray(self._init_sample(sample_x)))
         return replicate(self.mesh, state)
 
     def warmup(self, sample_x: np.ndarray, sample_y: np.ndarray) -> None:
@@ -125,7 +140,7 @@ class Trainer:
         """
         throwaway = self.module.init(
             jax.random.PRNGKey(0), self.tx,
-            jnp.asarray(np.asarray(sample_x)[:1]))
+            jnp.asarray(self._init_sample(sample_x)))
         throwaway = replicate(self.mesh, throwaway)
         xd, yd = self._put(np.asarray(sample_x), np.asarray(sample_y))
         for _ in range(2):

@@ -168,3 +168,29 @@ def test_train_step_with_fused_device_augment():
     state2, logs = step(state, x_raw, y_raw, jax.random.PRNGKey(1))
     assert np.isfinite(float(logs["loss"]))
     assert int(state2.step) == 1
+
+
+def test_init_state_from_raw_sample(tmp_path):
+    """The CLI warms up / inits from the TRAIN loader's sample, which is
+    the raw pre-crop shape under --augment device - init must substitute
+    a model-shaped dummy (round-5 pipeline-probe regression: the fusion
+    tail requires the 8x8 encoder grid, raw 250x333 gives 8x11)."""
+    from md_rdm_tpu.core.config import DataConfig
+    from md_rdm_tpu.training.loop import Trainer
+
+    cfg = Config(model=ModelConfig(decoder_ids=(1,)),
+                 data=DataConfig(augment_backend="device", batch_size=2),
+                 train=TrainConfig(metrics=("mse",), seed=0,
+                                   data_parallel=1,
+                                   checkpoint_dir=str(tmp_path)))
+    trainer = Trainer(cfg, workdir=str(tmp_path))
+    raw = np.random.default_rng(0).random((2, 250, 333, 3)).astype(
+        np.float32)
+    fixed = trainer._init_sample(raw)
+    assert fixed.shape == (1, 226, 226, 3)
+    state = trainer.init_state(raw)          # would raise before the fix
+    assert int(np.asarray(state.step)) == 0
+    # the 226 path still inits from the sample itself
+    x226 = np.zeros((3, 226, 226, 3), np.float32)
+    assert trainer._init_sample(x226).shape == (1, 226, 226, 3)
+    trainer.ckpt.close()
